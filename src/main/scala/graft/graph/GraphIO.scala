@@ -1,0 +1,92 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers/normalizers for edge tables.
+  *
+  * Reference input format (`Serial/utils/GraphInputIterator.hpp:27-42`):
+  * whitespace-separated text, header `V E`, then `E` pairs `u v` with
+  * `0 <= u,v < V`. Undirected; may contain self-loops (dropped on load,
+  * `Serial/serial_cc.cpp:42-43`), duplicates and unnormalized order (kept).
+  */
+object GraphIO {
+
+  /** Parsed text graph: the declared vertex count plus the edge Dataset
+    * with loader semantics applied (self-loops dropped; duplicates and
+    * orientation preserved, like the reference loaders).
+    */
+  final case class TextGraph(vertexCount: Long, edgeCount: Long, edges: Dataset[Edge])
+
+  /** Read the reference text format. Lines are position-tagged so the
+    * header (the first non-empty line) is identified without a driver-side
+    * file read; the graph fixtures are single-split text files so
+    * `monotonically_increasing_id` is file-ordered within the split.
+    */
+  def readTextGraph(spark: SparkSession, path: String): TextGraph = {
+    import spark.implicits._
+    val withPos = spark.read.textFile(path)
+      .select(monotonically_increasing_id().as("pos"), trim(col("value")).as("line"))
+      .filter(length(col("line")) > 0)
+      .select(col("pos"), split(col("line"), "\\s+").as("toks"))
+      .select(
+        col("pos"),
+        element_at(col("toks"), 1).cast("long").as("a"),
+        element_at(col("toks"), 2).cast("long").as("b"))
+    val header = withPos.orderBy(col("pos")).limit(1).collect()(0)
+    val (headerPos, vertexCount, edgeCount) =
+      (header.getLong(0), header.getLong(1), header.getLong(2))
+    val edges = withPos
+      .filter(col("pos") =!= headerPos)
+      .select(col("a").as("src"), col("b").as("dst"))
+      .filter(col("src") =!= col("dst")) // P1: self-loop drop on load
+      .as[Edge]
+    TextGraph(vertexCount, edgeCount, edges)
+  }
+
+  /** P3 — normalize orientation so `src <= dst`
+    * (`Edge.hpp:25-31`; applied e.g. `my_MPI_cc.cpp:70`). */
+  def normalize(edges: Dataset[Edge]): Dataset[Edge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).as[Edge]
+  }
+
+  /** Canonical edge set: self-loops dropped, normalized, deduplicated.
+    * Dedup is idempotent for CC (the reference keeps duplicates —
+    * `mpi_parallel_cc_utils.cpp:57-76` never dedups — but dropping them
+    * only shrinks shuffle volume, never changes the partition).
+    */
+  def canonical(edges: Dataset[Edge]): Dataset[Edge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    normalize(edges).filter(col("src") =!= col("dst")).distinct().as[Edge]
+  }
+
+  /** Both directions of an undirected edge set (for degree/neighborhood
+    * operators that need symmetric adjacency). */
+  def bidirectional(edges: Dataset[Edge]): Dataset[Edge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")).as[Edge])
+  }
+
+  /** Distinct endpoint set of an edge table. */
+  def vertices(edges: Dataset[Edge]): Dataset[Long] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().as[Long]
+  }
+
+  /** P4 — bounds predicate `assert(from < V && to < V)`
+    * (`serial_cc.cpp:39-40`): count violations, fail fast. */
+  def validateBounds(edges: Dataset[Edge], vertexCount: Long): Unit = {
+    val bad = edges.filter(
+      col("src") < 0 || col("dst") < 0 ||
+      col("src") >= vertexCount || col("dst") >= vertexCount).count()
+    require(bad == 0, s"$bad edges reference vertex ids outside [0, $vertexCount)")
+  }
+}

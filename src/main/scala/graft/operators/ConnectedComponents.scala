@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.graph.{Edge, GraphIO, SuperstepMetrics, UnionFind, VertexLabel}
+import graft.plans.CheckpointManager
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed connected components over a `Dataset[Edge]`.
+  *
+  * Canonical output (SURVEY.md §3.5): `label(v) = max vertex id in v's
+  * component` — byte-exact vs the reference's deterministic hook-to-max
+  * fixpoint (`CSE613-MPI/mpi_parallel_cc_utils.cpp:25-35`).
+  *
+  * Three strategies, all producing identical canonical labels:
+  *
+  *  - [[CCStrategy.HookAndContract]] — the reference algorithm re-expressed
+  *    as Dataset relational ops: hook-to-max = groupBy(src).agg(max(dst))
+  *    (partial+final hash agg ≙ local hook + MPI_MAX reduce,
+  *    `my_MPI_cc.cpp:193,196`), pointer jumping = iterated self-join with
+  *    path doubling (`mpi_parallel_cc_utils.cpp:37-55`), edge contraction =
+  *    relabel join + cross-component filter + normalize
+  *    (`mpi_parallel_cc_utils.cpp:57-76`).
+  *  - [[CCStrategy.AlternatingStar]] — small-star/large-star contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC 2014), the standard Dataset-join CC named by the north star.
+  *  - [[CCStrategy.SampledContraction]] — communication-avoiding sampled
+  *    contraction (PPoPP 2018 semantics, `SparseSampling.hpp:53-93`):
+  *    per round sample a bounded edge subset, union-find it on the driver,
+  *    broadcast the contraction map.
+  *
+  * Scale design: relabel maps after round 1 are orders of magnitude smaller
+  * than the edge set, so relabel joins broadcast once the map fits
+  * (`broadcastRows` threshold); before that they are shuffle joins under
+  * AQE skew handling. The hook aggregation needs no salting: Spark's
+  * partial (map-side) aggregation already collapses hot src keys per
+  * partition before the shuffle. Lineage is cut every round with eager
+  * `localCheckpoint`; durable parquet checkpoints + manifest every
+  * `checkpointEvery` rounds make runs resumable mid-iteration.
+  */
+object ConnectedComponents {
+
+  sealed trait CCStrategy
+  object CCStrategy {
+    case object HookAndContract extends CCStrategy
+    case object AlternatingStar extends CCStrategy
+    case object SampledContraction extends CCStrategy
+  }
+
+  final case class Config(
+      strategy: CCStrategy = CCStrategy.HookAndContract,
+      maxRounds: Int = 200,
+      /** relabel maps at or below this row count are broadcast. */
+      broadcastRows: Long = 4L * 1000 * 1000,
+      /** durable checkpoint cadence (rounds); None = no durable ckpt. */
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5,
+      runId: String = "cc",
+      /** PPoPP sampling params: sample ≤ n^(1+eps/2) * (1+delta), hard cap. */
+      sampleEps: Double = 0.09,
+      sampleDelta: Double = 0.2,
+      sampleHardCap: Long = 5L * 1000 * 1000,
+      seed: Long = 17L)
+
+  final case class Result(labels: Dataset[VertexLabel], metrics: Seq[SuperstepMetrics])
+
+  /** CC of `edges` (+ optional isolated vertices). Input edges may be
+    * dirty: self-loops, duplicates, arbitrary orientation — loader
+    * semantics of the reference are applied here (P1/P3 + dedup). */
+  def run(edges: Dataset[Edge],
+          extraVertices: Option[Dataset[Long]] = None,
+          cfg: Config = Config()): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val canon = GraphIO.canonical(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphIO.vertices(canon).toDF("id")
+      .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
+      .distinct()
+    val mapping0 = verts.select($"id", $"id".as("label"))
+
+    val (labels, metrics) = cfg.strategy match {
+      case CCStrategy.HookAndContract    => hookAndContract(canon, mapping0, cfg)
+      case CCStrategy.AlternatingStar    => alternatingStar(canon, mapping0, cfg)
+      case CCStrategy.SampledContraction => sampledContraction(canon, mapping0, cfg)
+    }
+    canon.unpersist()
+    Result(labels.select($"id", $"label").as[VertexLabel], metrics)
+  }
+
+  /** Resume a HookAndContract run from its latest durable checkpoint. */
+  def resume(spark: SparkSession, checkpointDir: String, cfg: Config): Result = {
+    import spark.implicits._
+    val ck = new CheckpointManager(spark, checkpointDir)
+    val step = ck.latestStep().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val edges = ck.load(step, "edges").as[Edge]
+    val mapping = ck.load(step, "mapping")
+    val (labels, metrics) =
+      hookAndContract(edges, mapping, cfg.copy(checkpointDir = Some(checkpointDir)),
+        startRound = step + 1)
+    Result(labels.select($"id", $"label").as[VertexLabel], metrics)
+  }
+
+  // ---------------------------------------------------------------------
+  // Strategy 1: hook-to-max + pointer jumping + contraction (reference).
+  // ---------------------------------------------------------------------
+  private def hookAndContract(
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
+      startRound: Int = 0): (DataFrame, Seq[SuperstepMetrics]) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
+
+    var edges = edges0.toDF().localCheckpoint(true)
+    var mapping = mapping0.localCheckpoint(true)
+    var round = startRound
+    var edgeCount = edges.count()
+
+    while (edgeCount > 0 && round < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+
+      // G2 hook-to-max: each src hooks to its largest (normalized) neighbor.
+      // Partial+final hash aggregation reproduces local-hook + MPI_MAX
+      // reduce; no salting needed (map-side combine absorbs src skew).
+      // Rows are only the non-identity part of the label function f:
+      // vertices absent from `f` map to themselves (left-join + coalesce
+      // at every use), which keeps f proportional to #srcs, not #vertices.
+      var fCache = edges.groupBy($"src".as("id")).agg(max($"dst").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var f = fCache
+
+      // G3 pointer jumping with path doubling: f := f ∘ f until fixpoint.
+      var jumps = 0
+      var changed = 1L
+      while (changed > 0) {
+        val next = f.as("a")
+          .join(bcIfSmall(f.as("b"), edgeCount, cfg), $"a.label" === $"b.id", "left")
+          .select($"a.id".as("id"),
+            coalesce($"b.label", $"a.label").as("label"),
+            ($"b.label".isNotNull && $"b.label" =!= $"a.label").as("ch"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.filter($"ch").count() // materializes `next`
+        fCache.unpersist()
+        fCache = next
+        f = next.select($"id", $"label")
+        jumps += 1
+      }
+
+      // G4 contraction: relabel endpoints through f, drop intra-component
+      // edges (P2), normalize (P3), dedup (safe for CC).
+      val fB = bcIfSmall(f, edgeCount, cfg)
+      val contracted = edges.as("e")
+        .join(fB.as("fs"), $"e.src" === $"fs.id", "left")
+        .join(fB.as("fd"), $"e.dst" === $"fd.id", "left")
+        .select(
+          coalesce($"fs.label", $"e.src").as("u"),
+          coalesce($"fd.label", $"e.dst").as("v"))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
+        .distinct()
+
+      // G6 forward map composition (no recursion stack): orig → new rep.
+      val newMapping = mapping.as("m")
+        .join(fB.as("f"), $"m.label" === $"f.id", "left")
+        .select($"m.id".as("id"), coalesce($"f.label", $"m.label").as("label"))
+
+      val prevEdges = edges
+      val prevMapping = mapping
+      edges = contracted.localCheckpoint(true)
+      mapping = newMapping.localCheckpoint(true)
+      val newCount = edges.count()
+      fCache.unpersist(); prevEdges.unpersist(); prevMapping.unpersist()
+
+      metrics += SuperstepMetrics(cfg.runId, "cc-hook", round,
+        edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)
+      edgeCount = newCount
+      round += 1
+
+      ck.foreach { c =>
+        if (round % cfg.checkpointEvery == 0 || edgeCount == 0)
+          c.save(round, Map("edges" -> edges, "mapping" -> mapping),
+            Map("algo" -> "cc-hook", "edgeCount" -> edgeCount.toString,
+                "runId" -> cfg.runId))
+      }
+    }
+    require(edgeCount == 0,
+      s"CC did not converge in ${cfg.maxRounds} rounds ($edgeCount edges left)")
+    (mapping, metrics.toSeq)
+  }
+
+  // ---------------------------------------------------------------------
+  // Strategy 2: alternating small-star / large-star (SoCC 2014).
+  // ---------------------------------------------------------------------
+  private def alternatingStar(
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      (DataFrame, Seq[SuperstepMetrics]) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val metrics = ArrayBuffer.empty[SuperstepMetrics]
+
+    // Edges kept canonical (src < dst) between steps.
+    var edges = edges0.toDF().localCheckpoint(true)
+    val vertsAll = mapping0.localCheckpoint(true)
+    var sig = signature(edges)
+    var round = 0
+    var converged = edges.isEmpty
+
+    while (!converged && round < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+      val cntIn = sig._1
+
+      // Large-star: each u attaches its larger neighbors to
+      // m(u) = min(N(u) ∪ {u}).
+      val bidir = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+      val minN = bidir.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("u"), least($"src", $"mn").as("m"))
+      val ls = bidir.as("e")
+        .join(minN.as("s"), $"e.src" === $"s.u")
+        .filter($"e.dst" > $"e.src")
+        .select($"s.m".as("src"), $"e.dst".as("dst"))
+        .filter($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint(true)
+
+      // Small-star: on (v < u) pairs keyed by u, attach N(u) ∪ {u} to
+      // m(u) = min(N(u)) (all neighbors here are < u).
+      val minS = ls.groupBy($"dst".as("u")).agg(min($"src").as("m"))
+      val ss = ls.as("e")
+        .join(minS.as("s"), $"e.dst" === $"s.u")
+        .select($"s.m".as("src"), $"e.src".as("dst"))
+        .union(minS.select($"m".as("src"), $"u".as("dst")))
+        .filter($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint(true)
+
+      val newSig = signature(ss)
+      converged = newSig == sig
+      edges.unpersist(); ls.unpersist()
+      edges = ss
+      sig = newSig
+      metrics += SuperstepMetrics(cfg.runId, "cc-star", round,
+        cntIn, newSig._1, -1L, 0, (System.nanoTime() - t0) / 1000000)
+      round += 1
+    }
+    require(converged, s"alternating-star did not converge in ${cfg.maxRounds} rounds")
+
+    // Fixpoint: every non-min vertex v has exactly the edge (min, v).
+    // Map to canonical component-max labels.
+    val starLabels = edges.select($"dst".as("id"), $"src".as("label"))
+      .union(edges.select($"src".as("id"), $"src".as("label")).distinct())
+    // vertices isolated from the star set (singletons) come from mapping0
+    val full = vertsAll.as("m")
+      .join(starLabels.as("s"), $"m.id" === $"s.id", "left")
+      .select($"m.id".as("id"), coalesce($"s.label", $"m.id").as("label"))
+    val rep = full.groupBy($"label").agg(max($"id").as("rep"))
+    val out = full.as("l").join(rep.as("r"), $"l.label" === $"r.label")
+      .select($"l.id".as("id"), $"r.rep".as("label"))
+    (out, metrics.toSeq)
+  }
+
+  /** Cheap set signature for convergence detection: (count, hash-xor).
+    * Both compared edge tables are deduplicated sets, so a 64-bit
+    * xxhash XOR-fold is an order-independent, overflow-free fingerprint. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  // ---------------------------------------------------------------------
+  // Strategy 3: PPoPP-2018-style sampled contraction.
+  // ---------------------------------------------------------------------
+  private def sampledContraction(
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      (DataFrame, Seq[SuperstepMetrics]) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val metrics = ArrayBuffer.empty[SuperstepMetrics]
+
+    var edges = edges0.toDF().localCheckpoint(true)
+    var mapping = mapping0.localCheckpoint(true)
+    var round = 0
+    var edgeCount = edges.count()
+
+    while (edgeCount > 0 && round < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+      // Bound: n^(1+eps/2) * (1+delta) — `SparseSampling.hpp:117` with
+      // eps=.09, delta=.2 (`SparseSampling.hpp:34-35`) — under a hard cap
+      // so the driver collect stays bounded regardless of input.
+      val nEst = edges.select(countDistinct($"src") + countDistinct($"dst"))
+        .collect()(0).getLong(0) // upper bound on active vertices
+      val bound = math.min(cfg.sampleHardCap.toDouble,
+        math.pow(nEst.toDouble.max(2.0), 1.0 + cfg.sampleEps / 2.0) * (1.0 + cfg.sampleDelta))
+      val k = math.max(1L, math.min(edgeCount, bound.toLong))
+      val sampled: Array[(Long, Long)] =
+        if (k >= edgeCount) edges.select($"src", $"dst").as[(Long, Long)].collect()
+        else edges.sample(withReplacement = false,
+            math.min(1.0, k.toDouble * 1.2 / edgeCount), cfg.seed + round)
+          .limit(k.toInt).select($"src", $"dst").as[(Long, Long)].collect()
+
+      // Driver-local prefix CC (≙ master-only union-find,
+      // SparseSampling.hpp:275-313), canonical max labels.
+      val cc = UnionFind.components(sampled.iterator)
+      val mapRows = cc.iterator.filter { case (v, r) => v != r }
+        .map { case (v, r) => (v, r) }.toSeq
+      val mapDf = broadcast(spark.createDataset(mapRows).toDF("old", "new"))
+
+      // G9: broadcast map, relabel, drop intra-component edges.
+      val contracted = edges.as("e")
+        .join(mapDf.as("ms"), $"e.src" === $"ms.old", "left")
+        .join(mapDf.as("md"), $"e.dst" === $"md.old", "left")
+        .select(coalesce($"ms.new", $"e.src").as("u"),
+                coalesce($"md.new", $"e.dst").as("v"))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
+        .distinct()
+
+      val newMapping = mapping.as("m")
+        .join(mapDf.as("f"), $"m.label" === $"f.old", "left")
+        .select($"m.id".as("id"), coalesce($"f.new", $"m.label").as("label"))
+
+      val prevEdges = edges; val prevMapping = mapping
+      edges = contracted.localCheckpoint(true)
+      mapping = newMapping.localCheckpoint(true)
+      val newCount = edges.count()
+      prevEdges.unpersist(); prevMapping.unpersist()
+
+      metrics += SuperstepMetrics(cfg.runId, "cc-sampled", round,
+        edgeCount, newCount, nEst, 0, (System.nanoTime() - t0) / 1000000)
+      edgeCount = newCount
+      round += 1
+    }
+    require(edgeCount == 0,
+      s"sampled CC did not converge in ${cfg.maxRounds} rounds")
+    (mapping, metrics.toSeq)
+  }
+
+  /** Broadcast hint for relabel maps once they are known-small. The map has
+    * at most as many rows as the current edge count, which we track. */
+  private def bcIfSmall(df: DataFrame, upperBound: Long, cfg: Config): DataFrame =
+    if (upperBound <= cfg.broadcastRows) broadcast(df) else df
+
+  /** Component count from a label table. */
+  def componentCount(labels: Dataset[VertexLabel]): Long =
+    labels.select(countDistinct(col("label"))).collect()(0).getLong(0)
+
+  /** Per-component sizes (A5: `serial_cc.cpp:66-74`). */
+  def componentSizes(labels: Dataset[VertexLabel]): DataFrame =
+    labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.graph.Edge
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edge-table derivation from relational sources (FIXTURES.md §2).
+  *
+  * The engine's upstream input at north-rule scale is a table of
+  * source-code repositories; in the sandbox the driver-generated TPC-H-ish
+  * tables stand in. Both derivations follow the reference loader
+  * semantics: self-loops dropped (`serial_cc.cpp:42-43`), endpoints
+  * normalized `least/greatest` (`Edge.hpp:25-31`), duplicates deduplicated
+  * at derivation time.
+  *
+  * Scale note: co-occurrence within a group key is a self-join on that
+  * key; group sizes are bounded (items per order / files per commit), so
+  * the self-join is a shuffle on the group key with quadratic blowup only
+  * inside each group. Hot groups are the skew risk — `maxGroupSize` caps
+  * them (standard practice for co-occurrence mining at web scale).
+  */
+object EdgeDerivation {
+
+  /** supplier ↔ supplier edges when two suppliers co-occur in an order. */
+  def supplierCooccurrence(spark: SparkSession, sfDir: String): Dataset[Edge] = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+      .distinct()
+      .as[Edge]
+  }
+
+  /** supplier ↔ supplier edges restricted to same-nation pairs: a graph
+    * with multiple components by construction (components ⊆ nations). */
+  def supplierCooccurrenceByNation(spark: SparkSession, sfDir: String): Dataset[Edge] = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_suppkey", $"s_nationkey")
+    val liN = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .select($"l_orderkey", $"l_suppkey", $"s_nationkey")
+    liN.as("a").join(liN.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.s_nationkey" === $"b.s_nationkey" &&
+        $"a.l_suppkey" < $"b.l_suppkey")
+      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+      .distinct()
+      .as[Edge]
+  }
+
+  /** part ↔ part edges when two parts co-occur in an order — the larger
+    * derived graph (thousands of vertices at bench scale). */
+  def partCooccurrence(spark: SparkSession, sfDir: String): Dataset[Edge] = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+      .as[Edge]
+  }
+
+  /** North-rule derivation: `repos_files(repo, path, commit, lang,
+    * content)` → repo↔repo edges from shared paths and shared commits.
+    * Vertex ids are stable 64-bit content hashes of the repo name
+    * (`xxhash64`) — dense renumbering is a global sort at 10^12 scale and
+    * buys nothing; collisions are checked by [[assertNoIdCollisions]].
+    * Hot keys (a path shared by thousands of repos) are capped at
+    * `maxGroupSize` repos per key, keeping the per-key self-join bounded. */
+  def repoEdges(reposFiles: DataFrame, maxGroupSize: Int = 1000): Dataset[Edge] = {
+    val spark = reposFiles.sparkSession
+    import spark.implicits._
+    def cooccur(key: String): DataFrame = {
+      val pairs = reposFiles
+        .select(col(key).as("k"), xxhash64(col("repo")).as("v"))
+        .distinct()
+      // cap group size: deterministic top-N per key by vertex id
+      val capped = pairs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"v")))
+        .filter($"rn" <= maxGroupSize)
+        .select($"k", $"v")
+      capped.as("a").join(capped.as("b"),
+          $"a.k" === $"b.k" && $"a.v" < $"b.v")
+        .select($"a.v".as("src"), $"b.v".as("dst"))
+    }
+    cooccur("path").union(cooccur("commit")).distinct().as[Edge]
+  }
+
+  /** Vertex table for [[repoEdges]]: repo name ↔ hash id. */
+  def repoVertices(reposFiles: DataFrame): DataFrame =
+    reposFiles.select(col("repo"), xxhash64(col("repo")).as("id")).distinct()
+
+  /** Fail fast if the 64-bit repo-id space collides (probability ~n²/2^64;
+    * at 10^9 repos ≈ 2.7e-2 — at that point switch to a 128-bit id). */
+  def assertNoIdCollisions(reposFiles: DataFrame): Unit = {
+    val row = repoVertices(reposFiles)
+      .agg(countDistinct(col("repo")).as("r"), countDistinct(col("id")).as("i"))
+      .collect()(0)
+    require(row.getLong(0) == row.getLong(1),
+      s"repo-id hash collision: ${row.getLong(0)} repos → ${row.getLong(1)} ids")
+  }
+
+  /** Per-row invariant vs the source table (north rule): the sha256 of
+    * `content` must survive every derived view unchanged. */
+  def contentSha(reposFiles: DataFrame): DataFrame =
+    reposFiles.withColumn("content_sha", sha2(col("content"), 256))
+}
