@@ -58,6 +58,25 @@ object SparkEntry {
     // triangle count (wedge join + closing semi-join)
     "triangles" -> ((s, dir) =>
       TriangleCount.count(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
+    // per-vertex triangle participation
+    "triangles_per_vertex" -> ((s, dir) =>
+      TriangleCount.perVertex(EdgeDerivation.supplierCooccurrenceByNation(s, dir))
+        .orderBy("id")),
+    // degree histogram (skew diagnostics)
+    "degree_histogram" -> ((s, dir) =>
+      GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
+    // PageRank (power iteration, damping .85, dangling redistribution);
+    // iterative + floating point → rows-only driver check, allclose-tested
+    // against a dense oracle in PageRankSpec
+    "pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.run(EdgeDerivation.supplierCooccurrenceByNation(s, dir))
+        .ranks.orderBy("id")),
+    // deterministic synchronous label propagation (ties → min label);
+    // iterative → rows-only check, oracle-tested in LpaTriangleSpec
+    "lpa" -> ((s, dir) =>
+      graft.operators.LabelPropagation.run(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir))
+        .labels.orderBy("id")),
     // north-rule per-row invariant: content sha256 across a derived view
     "content_sha" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -124,6 +143,25 @@ object SparkEntry {
          |FROM e e1
          |JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "triangles_per_vertex" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.src = e1.dst
+         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         |)
+         |SELECT id, CAST(count(*) AS BIGINT) AS triangles
+         |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+         |GROUP BY id ORDER BY id""".stripMargin,
+    "degree_histogram" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |d AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+         |  GROUP BY id)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
     "content_sha" ->
       """SELECT doc_id, sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin

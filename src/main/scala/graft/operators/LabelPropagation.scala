@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.graph.{Edge, GraphIO}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Synchronous label propagation for community detection (north-rule
+  * operator; semantics from Raghavan et al. 2007, made deterministic:
+  * each vertex adopts the most frequent neighbor label, ties broken by
+  * the smallest label — no randomness, so results are reproducible across
+  * runs and parallelism levels).
+  *
+  * Scale: one iteration = join(bidirectional edges ⋈ labels on src) +
+  * two-level hash aggregation (groupBy (dst,label) count, then per-dst
+  * argmax via max_by) — the per-dst argmax uses `max_by(label-struct)`
+  * rather than a window sort, keeping it a pure hash agg with map-side
+  * partial aggregation (no per-key sort, skew-tolerant).
+  */
+object LabelPropagation {
+
+  final case class Config(maxIter: Int = 20)
+
+  final case class Result(labels: DataFrame, iterations: Int, converged: Boolean)
+
+  def run(edges: Dataset[Edge],
+          extraVertices: Option[Dataset[Long]] = None,
+          cfg: Config = Config()): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val canon = GraphIO.canonical(edges)
+    val bidir = GraphIO.bidirectional(canon).toDF().localCheckpoint(true)
+    val verts = GraphIO.vertices(canon).toDF("id")
+      .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = verts.select($"id", $"id".as("label")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+
+    while (iter < cfg.maxIter && changed > 0) {
+      // most frequent neighbor label; ties → smallest label.
+      // argmax as a single hash agg: max_by over (count, -label).
+      val nbrCounts = bidir.as("e")
+        .join(labels.as("l"), $"e.src" === $"l.id")
+        .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
+        .agg(count(lit(1)).as("c"))
+      val best = nbrCounts
+        .groupBy($"id")
+        .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))
+        .select($"id", (-$"m.negl").as("newLabel"))
+
+      val newLabels = labels.as("l")
+        .join(best.as("b"), Seq("id"), "left")
+        .select($"id",
+          coalesce($"newLabel", $"label").as("label"),
+          ($"newLabel".isNotNull && $"newLabel" =!= $"label").as("ch"))
+        .localCheckpoint(true)
+      changed = newLabels.filter($"ch").count()
+      labels.unpersist()
+      labels = newLabels.select($"id", $"label").localCheckpoint(true)
+      newLabels.unpersist()
+      iter += 1
+    }
+    Result(labels, iter, changed == 0)
+  }
+}

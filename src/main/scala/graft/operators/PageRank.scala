@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.graph.{Edge, GraphIO}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank by power iteration (north-rule operator; no reference
+  * implementation — semantics from Page et al. 1999 with the standard
+  * dangling-mass redistribution).
+  *
+  * Undirected link graphs are treated as symmetric directed graphs (each
+  * edge contributes both directions), so out-degree = degree and dangling
+  * vertices only arise from the optional isolated-vertex set.
+  *
+  * Scale design: the edge table is weighted once up-front
+  * (`1/outdeg(src)`) and persisted — each iteration is then exactly one
+  * shuffle-join (ranks ⋈ weighted edges on src) + one hash aggregation
+  * (groupBy dst, partial agg absorbs in-degree skew) + a bounded scalar
+  * action for the convergence test. Rank tables are hash-partitioned by
+  * id throughout; lineage is cut with eager localCheckpoint every
+  * iteration.
+  */
+object PageRank {
+
+  final case class Config(
+      damping: Double = 0.85,
+      maxIter: Int = 100,
+      /** stop when the L1 delta between iterations falls below this. */
+      tol: Double = 1e-10,
+      checkpointEvery: Int = 8)
+
+  final case class Result(ranks: DataFrame, iterations: Int, l1Delta: Double)
+
+  def run(edges: Dataset[Edge],
+          extraVertices: Option[Dataset[Long]] = None,
+          cfg: Config = Config()): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val canon = GraphIO.canonical(edges)
+    val directed = GraphIO.bidirectional(canon)
+    val verts = GraphIO.vertices(canon).toDF("id")
+      .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = verts.count()
+    require(n > 0, "PageRank on an empty graph")
+
+    // Weighted adjacency: one row per directed edge with 1/outdeg(src).
+    val outDeg = directed.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val wEdges = directed.join(outDeg, "src")
+      .select($"src", $"dst", (lit(1.0) / $"outdeg").as("w"))
+      .localCheckpoint(true)
+
+    // Dangling = vertices with no out-edges (isolated ones here).
+    val dangling = verts.join(outDeg.select($"src".as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val nDangling = dangling.count()
+
+    var ranks = verts.select($"id", lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var iter = 0
+    var delta = Double.MaxValue
+    val base = (1.0 - cfg.damping) / n
+
+    while (iter < cfg.maxIter && delta > cfg.tol) {
+      val danglingMass =
+        if (nDangling == 0) 0.0
+        else dangling.join(ranks, "id").agg(sum($"rank")).collect()(0).getDouble(0)
+
+      val contribs = wEdges.as("e")
+        .join(ranks.as("r"), $"e.src" === $"r.id")
+        .groupBy($"e.dst".as("id"))
+        .agg(sum($"e.w" * $"r.rank").as("contrib"))
+
+      val newRanks = verts.as("v")
+        .join(contribs.as("c"), Seq("id"), "left")
+        .select($"id",
+          (lit(base) + lit(cfg.damping) *
+            (coalesce($"contrib", lit(0.0)) + lit(danglingMass / n))).as("rank"))
+
+      val prev = ranks
+      ranks = newRanks.localCheckpoint(true)
+      delta = ranks.as("a").join(prev.as("b"), Seq("id"))
+        .agg(sum(abs($"a.rank" - $"b.rank"))).collect()(0).getDouble(0)
+      prev.unpersist()
+      iter += 1
+    }
+    Result(ranks, iter, delta)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.graph.{Edge, Generators}
+import graft.operators.{LabelPropagation, GraphMetrics, TriangleCount}
+
+class LpaTriangleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side mirror of the engine's deterministic synchronous LPA
+    * (most frequent neighbor label, ties → smallest label). */
+  private def lpaOracle(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val verts = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = canon.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var labels = verts.map(v => v -> v).toMap
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      val next = verts.map { v =>
+        val counts = adj.getOrElse(v, Nil).map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        if (counts.isEmpty) v -> labels(v)
+        else {
+          val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          v -> best
+        }
+      }.toMap
+      changed = next != labels
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  test("LPA on two cliques joined by a bridge finds the two communities") {
+    // cliques {0..4} and {10..14}, bridge 4-10
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(0L to 4L) ++ clique(10L to 14L) ++ Seq((4L, 10L))
+    val got = LabelPropagation.run(spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe lpaOracle(edges)
+    // the two cliques end with (at most 2) distinct labels and intra-clique agreement
+    got.filter(_._1 <= 4L).values.toSet.size shouldBe 1
+    got.filter(_._1 >= 10L).values.toSet.size shouldBe 1
+  }
+
+  test("LPA matches driver oracle on random graphs") {
+    for (seed <- 1 to 2) {
+      val edges = Generators.random(spark, 60, 120, seed).collect()
+        .map(e => (e.src, e.dst)).toSeq
+      val got = LabelPropagation.run(spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe lpaOracle(edges)
+    }
+  }
+
+  /** Brute-force triangle oracle. */
+  private def triOracle(edges: Seq[(Long, Long)]): Long = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val verts = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var n = 0L
+    for {
+      (a, b) <- canon
+      c <- verts if c > b && canon((a, c)) && canon((b, c))
+    } n += 1
+    n
+  }
+
+  test("triangle count: K4 has 4, chain has 0, matches brute force on random") {
+    def cnt(edges: Seq[(Long, Long)]): Long =
+      TriangleCount.count(spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .collect()(0).getLong(0)
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    cnt(k4) shouldBe 4L
+    cnt((0L until 10L).map(i => (i, i + 1))) shouldBe 0L
+    for (seed <- 1 to 3) {
+      val edges = Generators.random(spark, 40, 160, seed).collect()
+        .map(e => (e.src, e.dst)).toSeq
+      cnt(edges) shouldBe triOracle(edges)
+    }
+  }
+
+  test("per-vertex triangle counts: K4 all vertices in 3 triangles") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val got = TriangleCount.perVertex(spark.createDataset(k4.map(e => Edge(e._1, e._2))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+  }
+
+  test("degrees: star hub has n-1, leaves 1") {
+    val got = GraphMetrics.degrees(Generators.star(spark, 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(0L) shouldBe 7L
+    (1L until 8L).foreach(i => got(i) shouldBe 1L)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.graph.{Edge, GraphIO}
+import graft.operators.PageRank
+
+/** PageRank vs a driver-side dense power-iteration oracle (allclose 1e-6,
+  * the north-rule gate). Oracle mirrors the engine's published semantics:
+  * symmetric directed edges, damping 0.85, dangling mass redistributed. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Dense oracle over vertex ids 0..n-1 (ids remapped). */
+  private def oracle(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                     damping: Double = 0.85, iters: Int = 300): Map[Long, Double] = {
+    val ids = (vertices ++ edges.flatMap(e => Seq(e._1, e._2))).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.size
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = Array.fill(n)(List.empty[Int])
+    canon.foreach { case (u, v) =>
+      adj(idx(u)) = idx(v) :: adj(idx(u))
+      adj(idx(v)) = idx(u) :: adj(idx(v))
+    }
+    val outDeg = adj.map(_.size)
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val nxt = Array.fill(n)((1.0 - damping) / n)
+      var dangling = 0.0
+      for (i <- 0 until n) {
+        if (outDeg(i) == 0) dangling += r(i)
+        else adj(i).foreach(j => nxt(j) += damping * r(i) / outDeg(i))
+      }
+      for (i <- 0 until n) nxt(i) += damping * dangling / n
+      r = nxt
+    }
+    ids.zip(r).toMap
+  }
+
+  private def sparkPR(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Double] = {
+    val ds = spark.createDataset(edges.map { case (u, v) => Edge(u, v) })
+    val extra = if (vertices.isEmpty) None else Some(spark.createDataset(vertices))
+    PageRank.run(ds, extra).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  private def allclose(a: Map[Long, Double], b: Map[Long, Double], tol: Double = 1e-6): Unit = {
+    a.keySet shouldBe b.keySet
+    a.foreach { case (k, v) =>
+      math.abs(v - b(k)) should be < tol
+    }
+  }
+
+  test("small.txt graph: allclose 1e-6 vs dense oracle") {
+    val g = GraphIO.readTextGraph(spark, resourcePath("graphs/small.txt"))
+    val edges = g.edges.collect().map(e => (e.src, e.dst)).toSeq
+    val verts = (0L until g.vertexCount).toSeq
+    allclose(sparkPR(edges, verts), oracle(edges, verts))
+  }
+
+  test("chain(20): symmetric ranks, allclose vs oracle") {
+    val edges = (0L until 19L).map(i => (i, i + 1))
+    val got = sparkPR(edges, Nil)
+    allclose(got, oracle(edges, Nil))
+    // symmetry of the path graph
+    math.abs(got(0L) - got(19L)) should be < 1e-9
+  }
+
+  test("star(10): hub rank dominates, allclose vs oracle") {
+    val edges = (1L until 10L).map(i => (0L, i))
+    val got = sparkPR(edges, Nil)
+    allclose(got, oracle(edges, Nil))
+    got(0L) should be > got(1L)
+  }
+
+  test("dangling (isolated) vertices get redistributed mass") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2))
+    val verts = Seq(0L, 1L, 2L, 99L) // 99 is isolated → dangling
+    val got = sparkPR(edges, verts)
+    allclose(got, oracle(edges, verts))
+    // total mass conserved
+    math.abs(got.values.sum - 1.0) should be < 1e-9
+  }
+
+  test("ranks sum to 1 on a multi-component graph") {
+    val edges = Seq[(Long, Long)]((0, 1), (2, 3), (3, 4), (2, 4))
+    val got = sparkPR(edges, Nil)
+    math.abs(got.values.sum - 1.0) should be < 1e-9
+    allclose(got, oracle(edges, Nil))
+  }
+}
