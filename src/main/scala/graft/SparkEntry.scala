@@ -81,7 +81,82 @@ object SparkEntry {
     "content_sha" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // ---- training-data pipeline operators over documents/embeddings ----
+    // text quality counters (exact integer stats)
+    "text_stats" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.TextAnalysis.qualityStats(
+          d.select(col("doc_id"), col("text")), col("text"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper")
+        .orderBy("doc_id")
+    }),
+    // heuristic language id (stopword argmax + CJK detection)
+    "text_lang" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+    // 64-bit rolling fingerprint (xxhash64-based → rows-only check;
+    // determinism + collision behavior tested in PipelineSpec)
+    "text_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // exact dedup groups (hash-groupBy)
+    "dedup_exact_groups" -> ((s, dir) =>
+      graft.functions.Dedup.exactGroups(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .orderBy("content_sha")),
+    // MinHash banded signatures (LSH bucketing layer; xxhash64 → rows-only)
+    "dedup_minhash_bands" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id").as("id"), col("text"))
+        .select(col("id"), posexplode(transform(
+          sequence(lit(0), lit(15)),
+          b => xxhash64(b, concat_ws(",", transform(
+            slice(graft.functions.Dedup.minhashSignature(col("text"), 3, 64),
+              b * 4 + 1, lit(4)), h => h.cast("string")))))))
+        .toDF("id", "band", "bucket")
+        .orderBy("id", "band")
+    }),
+    // SimHash signatures (near-dup layer; xxhash64 → rows-only)
+    "dedup_simhash" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    // exact brute-force cosine top-5 for the 10 lowest vec_ids
+    "ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // LSH-bucketed ANN (scale path; recall tested in PipelineSpec)
+    "ann_topk_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.functions.Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 5, dim = dim)
+        .orderBy("query_id", "rank")
+    }),
+    // multimodal plumbing: binary payloads + batched feature extraction
+    "media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("media_id"),
+          coalesce(col("source"), lit("text")).as("kind"),
+          encode(col("text"), "utf-8").as("payload"),
+          struct(lit(0).as("width"), lit(0).as("height"),
+            lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
+        .as[graft.sources.Multimodal.MediaRow]
+      graft.sources.Multimodal.extractFeatures(media)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("byte_mean"), 6).as("byte_mean"))
+        .orderBy("media_id")
+    })
   )
 
   // Shared SQL fragments for the DuckDB oracle (same parquet tables).
@@ -164,6 +239,41 @@ object SparkEntry {
          |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
     "content_sha" ->
       """SELECT doc_id, sha256(text) AS content_sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text,'[^.,;:!?]','','g')) AS BIGINT) AS n_punct,
+        |  CAST(length(regexp_replace(text,'[^0-9]','','g')) AS BIGINT) AS n_digits,
+        |  CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS BIGINT) AS n_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(CASE WHEN length(trim(text))=0 THEN []
+        |      ELSE regexp_split_to_array(trim(text),'\s+') END, t -> lower(t)) AS tk,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_filter(tk, t -> list_contains(['the','and','of','to','is','in','that','with'], t))) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], t))) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['le','la','les','et','est','dans','que','une'], t))) AS s_fr,
+        |    len(list_filter(tk, t -> list_contains(['el','los','las','es','en','que','una','por'], t))) AS s_es
+        |  FROM toks)
+        |SELECT doc_id, CASE WHEN cjk > 2 THEN 'zh'
+        |  WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |  WHEN s_fr >= s_es THEN 'fr'
+        |  ELSE 'es' END AS lang_guess
+        |FROM scores ORDER BY doc_id""".stripMargin,
+    "dedup_exact_groups" ->
+      """SELECT sha256(text) AS content_sha,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_id,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

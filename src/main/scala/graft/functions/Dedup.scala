@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Document deduplication for training-data pipelines: exact (hash
+  * groupBy), MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
+  * verification. All candidate generation is bucket-join based (no
+  * all-pairs cross join anywhere), which is what keeps these viable at
+  * 100 TB: candidates = same-bucket pairs, a self-equi-join on the bucket
+  * key with map-side-combinable bucket sizes.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * representative (min id) and multiplicity. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(sha2(text, 256).as("content_sha"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("cnt"))
+
+  /** Rows surviving exact dedup (keep min id per content hash). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** k-token shingles of a text column (contiguous token windows). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: numHashes independent 64-bit min-hashes over the
+    * shingle set (hash family = xxhash64 salted by the hash index). */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(text, k))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
+    * band bucket. bands * rowsPerBand must equal numHashes. Output:
+    * (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(id.as("id"),
+      minhashSignature(text, k, numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            h => h.cast("string")))))))
+      .toDF("id", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(aShingles: Column, bShingles: Column): Column = {
+    val inter = size(array_intersect(aShingles, bShingles)).cast("double")
+    val union = size(array_union(aShingles, bShingles)).cast("double")
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard ≥
+    * threshold. Standard shingle→minhash→band→bucket-join→verify
+    * pipeline. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                     threshold: Double = 0.7): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands, rowsPerBand)
+    val out = cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    out
+  }
+
+  /** 64-bit SimHash over token hashes: bit b set iff the majority of
+    * tokens have bit b set in their xxhash64. Pure expressions. */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    // note: shiftleft/shiftrightunsigned via call_function — the Scala
+    // wrappers only take a literal Int shift, the SQL functions take columns
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(size(filter(toks,
+        t => call_function("shiftrightunsigned", xxhash64(t), b)
+          .bitwiseAND(lit(1L)) === 1L)) * 2 > n,
+        lit(1L)).otherwise(lit(0L)))
+    when(n === 0, lit(0L)).otherwise(
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => acc.bitwiseOR(
+          call_function("shiftleft", element_at(bits, b + 1), b))))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
+    * via 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ one chunk
+    * equal). */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftrightunsigned", col("sig"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "sig", "chunk", "ckey")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

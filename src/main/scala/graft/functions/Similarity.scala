@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and
+  * a signed-random-projection LSH bucketed variant as the scale path.
+  *
+  * Vector math uses `zip_with`/`aggregate` higher-order functions — pure
+  * Catalyst expressions, no UDFs. Hyperplanes for SRP-LSH are Rademacher
+  * (±1) vectors derived from `xxhash64(plane, dim)` — deterministic across
+  * runs and parallelism, no stored model.
+  */
+object Similarity {
+
+  /** dot(a, b) for two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cosine(a, b); 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Exact brute-force cosine top-k: every query row is compared against
+    * the whole corpus. Queries are expected to be a small set and are
+    * broadcast: the "join" is a broadcast-nested-loop over corpus
+    * partitions — embarrassingly parallel, no shuffle of the corpus.
+    * Deterministic tie-break by id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = c.join(q, col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
+  /** SRP-LSH signature: `planes` sign bits packed into a long. Bit p =
+    * sign(Σ_d emb[d] * rademacher(p, d)). */
+  def srpSignature(emb: Column, planes: Int, dim: Int, seed: Long = 7L): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (s, d) =>
+        s + element_at(emb, d + 1).cast("double") *
+          when(pmod(xxhash64(lit(seed), p, d), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0)))
+      acc.bitwiseOR(call_function("shiftleft",
+        when(proj >= 0, lit(1L)).otherwise(lit(0L)), p))
+    })
+
+  /** LSH-bucketed ANN top-k: candidates share at least one band of the
+    * SRP signature (bands of `bandBits` bits each); exact cosine + top-k
+    * within candidates. Recall < 1 by construction; the trade is no
+    * all-pairs pass — candidate generation is a bucket equi-join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val bands = planes / bandBits
+    def banded(df: DataFrame, idName: String, embName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(embName),
+          srpSignature(col("embedding"), planes, dim).as("sig"))
+        .select(col(idName), col(embName),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            call_function("shiftrightunsigned", col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)))))
+        .toDF(idName, embName, "band", "bucket")
+    val c = banded(corpus, "nbr_id", "nbr_emb")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = banded(queries, "query_id", "q_emb")
+    val cands = c.join(broadcast(q),
+        c("band") === q("band") && c("bucket") === q("bucket") &&
+          col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), col("q_emb"), col("nbr_emb"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("nbr_id"),
+      round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) via LSH buckets — the embedding leg of the dedup suite. */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
+                           dim: Int, planes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val bands = planes / bandBits
+    val sig = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
+        srpSignature(col("embedding"), planes, dim).as("sig"))
+      .select(col("id"), col("emb"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          call_function("shiftrightunsigned", col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)))))
+      .toDF("id", "emb", "band", "bucket")
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.emb"), col("b.emb")), 8).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

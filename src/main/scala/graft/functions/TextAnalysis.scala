@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality statistics, language identification,
+  * document fingerprinting. All pure built-in (codegen'd) expressions —
+  * no UDFs — so they stay inside WholeStageCodegen and push down through
+  * Catalyst.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array (empty array for blank text). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count as long. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** A BPE-ish subword count: words are split at ~4-char boundaries like
+    * byte-pair merges typically land for English-ish text; cheap token
+    * estimator used for budget accounting (ceil(chars/4) per word, min 1). */
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(
+      aggregate(tokens(text), lit(0L),
+        (acc, w) => acc + greatest(ceil(length(w) / 4.0).cast("long"), lit(1L))),
+      lit(0L))
+
+  /** Integer quality counters (exact, oracle-friendly): chars, tokens,
+    * punctuation, digits, uppercase letters. */
+  def qualityStats(df: DataFrame, text: Column): DataFrame = df.select(
+    col("*"),
+    length(text).cast("long").as("n_chars_m"),
+    tokenCount(text).as("n_tokens"),
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long").as("n_punct"),
+    length(regexp_replace(text, "[^0-9]", "")).cast("long").as("n_digits"),
+    length(regexp_replace(text, "[^A-Z]", "")).cast("long").as("n_upper"))
+
+  /** Composite quality score in [0,1]: penalizes extreme punctuation /
+    * digit ratios and degenerate token lengths (standard web-corpus
+    * filtering heuristics, cf. C4/Gopher-style rules). */
+  def qualityScore(text: Column): Column = {
+    val n = greatest(length(text).cast("double"), lit(1.0))
+    val punctRatio = length(regexp_replace(text, "[^.,;:!?]", "")) / n
+    val digitRatio = length(regexp_replace(text, "[^0-9]", "")) / n
+    val toks = tokens(text)
+    val meanTokLen = when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks)).otherwise(lit(0.0))
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val tokScore = when(meanTokLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = when(punctRatio < 0.1, lit(1.0)).otherwise(lit(0.5))
+    val digitScore = when(digitRatio < 0.2, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + tokScore * 0.2 + punctScore * 0.2 + digitScore * 0.2, 6)
+  }
+
+  /** Tiny per-language stopword/marker sets for the n-gram/stopword
+    * language-ID heuristic. Public-knowledge word lists. */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "une"),
+    "es" -> Seq("el", "los", "las", "es", "en", "que", "una", "por"))
+
+  /** Heuristic language ID: CJK script detection first, else argmax of
+    * stopword hits (ties → 'en' > 'de' > 'fr' > 'es' order), 'unknown'
+    * when nothing matches. Deterministic, pure expressions. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 2
+    val best = scores.map { case (lang, s) =>
+      struct(s.as("s"), lit(priority(lang)).as("p"), lit(lang).as("lang"))
+    }
+    val top = greatest(best: _*)
+    when(cjk, lit("zh"))
+      .when(top.getField("s") > 0, top.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Tie-break priority: higher wins at equal score (en > de > fr > es). */
+  private def priority(lang: String): Int = lang match {
+    case "en" => 4; case "de" => 3; case "fr" => 2; case _ => 1
+  }
+
+  /** 64-bit document fingerprint: an order-sensitive rolling mix of token
+    * hashes, pure bitwise ops (no ANSI overflow): acc = rot(acc) ^ h(tok).
+    * Equal normalized token streams ⇒ equal fingerprints. */
+  def fingerprint(text: Column): Column =
+    coalesce(
+      aggregate(tokens(text), lit(0L), (acc, t) =>
+        shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
+          .bitwiseXOR(xxhash64(t))),
+      lit(0L))
+}

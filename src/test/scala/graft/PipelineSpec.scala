@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup (exact / minhash / simhash /
+  * jaccard / embedding-cosine), similarity search, text analysis,
+  * multimodal plumbing. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 0
+      (2L, "completely different content about spark datasets and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 0
+      (4L, "der hund läuft schnell und die katze ist nicht da mit ein"),
+      (5L, ""),
+      (6L, "le chat est dans la maison et les oiseaux dans le jardin"),
+      (7L, "el perro es grande y los gatos en las casas por una razon"),
+      (8L, "你好世界这是一个测试文档"),
+      (9L, "numbers 12345 67890 11111 22222 33333 44444 55555 66666 77777"))
+    spark.createDataset(base).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups and survivor set") {
+    val groups = Dedup.exactGroups(docs, $"doc_id", $"text").collect()
+    groups.length shouldBe 9 // 10 docs, one exact pair
+    val dupGroup = groups.filter(_.getAs[Long]("cnt") > 1)
+    dupGroup.length shouldBe 1
+    dupGroup(0).getAs[Long]("rep_id") shouldBe 0L
+    Dedup.exactDedup(docs, "doc_id", "text").count() shouldBe 9L
+    // survivor keeps doc 0, drops doc 3
+    Dedup.exactDedup(docs, "doc_id", "text")
+      .filter($"doc_id" === 3L).count() shouldBe 0L
+  }
+
+  test("minhash LSH finds the planted near-duplicate and the exact dup") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 3L)) // exact dup: jaccard 1.0
+    pairs should contain((0L, 1L)) // near dup
+    pairs should contain((1L, 3L))
+    // unrelated docs must not pair
+    pairs.exists(p => p._1 == 2L || p._2 == 2L) shouldBe false
+  }
+
+  test("jaccard verification is exact") {
+    val j = docs.filter($"doc_id".isin(0L, 1L))
+      .agg(Dedup.jaccard(
+        first(array_distinct(Dedup.shingles($"text", 3))),
+        last(array_distinct(Dedup.shingles($"text", 3)))).as("j"))
+      .collect()(0).getDouble(0)
+    // 13 tokens → 11 shingles each, differing only in the last token →
+    // 10 shared, union 12
+    j shouldBe (10.0 / 12.0) +- 1e-9
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, others far") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(0L) shouldBe sigs(3L)
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) should be <= 12
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) should be > 12
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 3L))
+  }
+
+  test("language id heuristic") {
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(0L) shouldBe "en"
+    got(4L) shouldBe "de"
+    got(6L) shouldBe "fr"
+    got(7L) shouldBe "es"
+    got(8L) shouldBe "zh"
+    got(9L) shouldBe "unknown"
+    got(5L) shouldBe "unknown"
+  }
+
+  test("token counts, quality stats, fingerprint") {
+    val row = docs.filter($"doc_id" === 0L).select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.bpeishTokenCount($"text").as("bt"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.fingerprint($"text").as("f")).collect()(0)
+    row.getAs[Long]("t") shouldBe 13L
+    row.getAs[Long]("bt") should be >= 13L
+    row.getAs[Double]("q") should (be >= 0.0 and be <= 1.0)
+    // empty text
+    val e = docs.filter($"doc_id" === 5L).select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.fingerprint($"text").as("f")).collect()(0)
+    e.getAs[Long]("t") shouldBe 0L
+    e.getAs[Long]("f") shouldBe 0L
+    // identical docs → identical fingerprints; different docs differ
+    val fps = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps(0L) shouldBe fps(3L)
+    fps(0L) should not be fps(2L)
+  }
+
+  private lazy val embeddings = {
+    // deterministic 8-dim embeddings; vec 1 ≈ vec 0 (near-dup), others random-ish
+    val rnd = new scala.util.Random(42)
+    val v0 = Array.fill(8)(rnd.nextFloat())
+    val v1 = v0.map(x => x + 0.01f)
+    val rest = (2L until 30L).map(i => i -> Array.fill(8)(rnd.nextFloat()))
+    spark.createDataset(Seq(0L -> v0, 1L -> v1) ++ rest)
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k: nearest neighbor of 0 is 1") {
+    val topk = Similarity.bruteForceTopK(embeddings,
+      embeddings.filter($"vec_id" === 0L), k = 3).collect()
+    topk.length shouldBe 3
+    val first = topk.find(_.getAs[Long]("rank") == 1L).get
+    first.getAs[Long]("nbr_id") shouldBe 1L
+    first.getAs[Double]("cos") should be > 0.999
+  }
+
+  test("LSH ANN finds the planted neighbor and agrees with brute force on it") {
+    val got = Similarity.lshTopK(embeddings,
+      embeddings.filter($"vec_id" === 0L), k = 3, dim = 8).collect()
+    got.map(_.getAs[Long]("nbr_id")) should contain(1L)
+    val pairs = Similarity.cosineNearDuplicates(embeddings, 0.999, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((0L, 1L))
+  }
+
+  test("multimodal: schema plumbing, batch extract, frame sampling") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    media.count() shouldBe 30L
+    val feats = Multimodal.extractFeatures(media).collect()
+    feats.length shouldBe 30
+    all(feats.map(_.n_bytes)) should be > 0L
+    all(feats.map(_.feature.length)) shouldBe 8
+    // deterministic across re-generation
+    val feats2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30))
+      .collect()
+    feats.sortBy(_.media_id).map(_.byte_mean) shouldBe
+      feats2.sortBy(_.media_id).map(_.byte_mean)
+    val frames = Multimodal.frameSamplePlan(media, everyMs = 5000)
+    frames.groupBy($"media_id").count().collect().foreach { r =>
+      r.getLong(1) should be >= 1L
+    }
+    frames.select($"media_id").distinct().count() shouldBe
+      media.filter($"kind" === "video").count()
+  }
+}
