@@ -66,18 +66,24 @@ object GraphIO {
   }
 
   /** Both directions of an undirected edge set (for degree/neighborhood
-    * operators that need symmetric adjacency). */
+    * operators that need symmetric adjacency). Implemented as a single-scan
+    * explode, not a self-union: a union duplicates the whole upstream
+    * subtree (double scan / double derivation at 100 TB). */
   def bidirectional(edges: Dataset[Edge]): Dataset[Edge] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")).as[Edge])
+    edges.select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .as[Edge]
   }
 
-  /** Distinct endpoint set of an edge table. */
+  /** Distinct endpoint set of an edge table (single scan via explode). */
   def vertices(edges: Dataset[Edge]): Dataset[Long] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src")).union(edges.select(col("dst")))
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().as[Long]
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.GraftLineage._
 import graft.graph.{Edge, GraphIO, SuperstepMetrics, UnionFind, VertexLabel}
 import graft.plans.CheckpointManager
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -52,7 +53,7 @@ object ConnectedComponents {
       strategy: CCStrategy = CCStrategy.HookAndContract,
       maxRounds: Int = 200,
       /** relabel maps at or below this row count are broadcast. */
-      broadcastRows: Long = 4L * 1000 * 1000,
+      broadcastRows: Long = 1L * 1000 * 1000,
       /** durable checkpoint cadence (rounds); None = no durable ckpt. */
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
@@ -61,7 +62,23 @@ object ConnectedComponents {
       sampleEps: Double = 0.09,
       sampleDelta: Double = 0.2,
       sampleHardCap: Long = 5L * 1000 * 1000,
-      seed: Long = 17L)
+      seed: Long = 17L,
+      /** Per-partition union-find pre-contraction before each hook round
+        * (reference analogue: master-local prefix CC,
+        * `SparseSampling.hpp:275-313`, distributed to every partition).
+        * Replaces each partition's subgraph by its spanning star forest —
+        * connectivity-preserving, collapses local path depth to 1, so
+        * pointer jumping needs O(1) jumps instead of O(log diameter).
+        * Memory: one LongMap over the partition's vertex ids (bounded by
+        * `spark.sql.files.maxPartitionBytes` / shuffle partition sizing). */
+      preContract: Boolean = true,
+      /** Per-partition vertex cap for pre-contraction: bounds each task's
+        * union-find memory deterministically (~40 MB at 250k); edges past
+        * the cap pass through unchanged (still correct — just contracts
+        * less). Sized for 32 concurrent tasks in an 8 GiB driver JVM. */
+      preContractCap: Int = 250000,
+      /** stderr progress lines per superstep/jump (diagnostics). */
+      verbose: Boolean = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
 
   final case class Result(labels: Dataset[VertexLabel], metrics: Seq[SuperstepMetrics])
 
@@ -74,19 +91,26 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val canon = GraphIO.canonical(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = GraphIO.vertices(canon).toDF("id")
+    // Normalize + drop self-loops (P1/P3, narrow); duplicates are KEPT
+    // here, exactly like the reference loaders — every strategy tolerates
+    // them (hook pre-contraction and the per-step distinct()s dedup
+    // structurally), and skipping the up-front distinct() saves a full
+    // shuffle+materialization of the largest table in the whole job.
+    val cleaned = GraphIO.normalize(edges)
+      .filter(col("src") =!= col("dst"))
+      .toDF().cutLineage()
+    val verts = GraphIO.vertices(cleaned.as[Edge]).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
     val mapping0 = verts.select($"id", $"id".as("label"))
 
+    val cleanedDs = cleaned.as[Edge]
     val (labels, metrics) = cfg.strategy match {
-      case CCStrategy.HookAndContract    => hookAndContract(canon, mapping0, cfg)
-      case CCStrategy.AlternatingStar    => alternatingStar(canon, mapping0, cfg)
-      case CCStrategy.SampledContraction => sampledContraction(canon, mapping0, cfg)
+      case CCStrategy.HookAndContract    => hookAndContract(cleanedDs, mapping0, cfg)
+      case CCStrategy.AlternatingStar    => alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
+      case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
     }
-    canon.unpersist()
+    cleaned.unpersist()
     Result(labels.select($"id", $"label").as[VertexLabel], metrics)
   }
 
@@ -115,13 +139,54 @@ object ConnectedComponents {
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
     val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
 
-    var edges = edges0.toDF().localCheckpoint(true)
-    var mapping = mapping0.localCheckpoint(true)
+    // Range-partition the edge table by src once (CSR-style adjacency
+    // layout, per the north star): graphs with id locality (chains, web
+    // graphs, co-occurrence ids) then contract well per-partition. The
+    // upstream dedup's hash shuffle scatters structure randomly — without
+    // this, round-0 pre-contraction finds only fragments and pointer
+    // jumping pays the full graph diameter (observed: 22 jumps vs 6).
+    // (src, dst) — not src alone — so a single-hub star (one src value)
+    // spreads across partitions instead of forming one straggler task.
+    val p = spark.sessionState.conf.numShufflePartitions
+    var edges = (if (cfg.preContract)
+        edges0.toDF().repartitionByRange(p, $"src", $"dst")
+          .sortWithinPartitions($"src", $"dst") // CSR layout: chunks see contiguous segments
+      else edges0.toDF()).cutLineage()
+    var mapping = mapping0.cutLineage()
     var round = startRound
     var edgeCount = edges.count()
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
       val t0 = System.nanoTime()
+      def ms: Long = (System.nanoTime() - t0) / 1000000
+
+      // Per-partition pre-contraction: replace each partition's subgraph
+      // by a spanning star forest toward the local component max. Pure
+      // narrow transformation (no shuffle); output edges (v, rep) are
+      // already normalized since rep = local max.
+      // Chunked so each union-find holds ≤ cap vertices (bounded task
+      // memory at any partition size): a block is contracted to its star
+      // forest, the maps reset, and the next block begins. Blocks glue via
+      // shared vertices in the global hook rounds.
+      val chunkEdges = math.max(1, cfg.preContractCap / 2)
+      val hookInput =
+        if (!cfg.preContract) edges
+        else edges.as[Edge].mapPartitions { it =>
+          it.grouped(chunkEdges).flatMap { chunk =>
+            val uf = new UnionFind
+            chunk.foreach { e => uf.touch(e.src); uf.touch(e.dst); uf.union(e.src, e.dst) }
+            val maxOf = scala.collection.mutable.LongMap.empty[Long]
+            val all = uf.ids.toArray
+            all.foreach { v =>
+              val r = uf.find(v)
+              maxOf(r) = math.max(maxOf.getOrElse(r, Long.MinValue), v)
+            }
+            all.iterator.flatMap { v =>
+              val rep = maxOf(uf.find(v))
+              if (v == rep) Iterator.empty else Iterator.single(Edge(v, rep))
+            }
+          }
+        }.toDF()
 
       // G2 hook-to-max: each src hooks to its largest (normalized) neighbor.
       // Partial+final hash aggregation reproduces local-hook + MPI_MAX
@@ -129,31 +194,52 @@ object ConnectedComponents {
       // Rows are only the non-identity part of the label function f:
       // vertices absent from `f` map to themselves (left-join + coalesce
       // at every use), which keeps f proportional to #srcs, not #vertices.
-      var fCache = edges.groupBy($"src".as("id")).agg(max($"dst").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var f = fCache
+      var fCache = hookInput.groupBy($"src".as("id")).agg(max($"dst").as("label"))
+        .withColumn("done", lit(false))
+        .cutLineage()
+      if (cfg.verbose) System.err.println(s"[cc-hook] round=$round hook done at ${ms}ms")
 
       // G3 pointer jumping with path doubling: f := f ∘ f until fixpoint.
+      // Three hard-won rules in this loop:
+      //  - cutLineage (not persist) per jump: the self-join doubles the
+      //    LOGICAL plan (and the size-estimation BigInts) every jump —
+      //    persist caches data but keeps lineage, and Catalyst's stats /
+      //    plan-string work alone OOMs by jump ~19.
+      //  - no broadcast: each broadcast pins a copy of f until round end.
+      //  - frontier restriction: a row is `done` once its label is a root
+      //    (roots have no entry in f — they never hook) or points at a
+      //    done row; done rows skip the join, so per-jump probe volume
+      //    tracks the shrinking frontier instead of all of f.
       var jumps = 0
-      var changed = 1L
-      while (changed > 0) {
-        val next = f.as("a")
-          .join(bcIfSmall(f.as("b"), edgeCount, cfg), $"a.label" === $"b.id", "left")
+      var undone = 1L
+      while (undone > 0) {
+        val und = fCache.filter(!$"done")
+        val don = fCache.filter($"done")
+        val joined = und.as("a")
+          .join(fCache.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
           .select($"a.id".as("id"),
             coalesce($"b.label", $"a.label").as("label"),
-            ($"b.label".isNotNull && $"b.label" =!= $"a.label").as("ch"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        changed = next.filter($"ch").count() // materializes `next`
+            ($"b.id".isNull || $"b.done").as("done"))
+        val (next, m) = barrierObserved(
+          don.select($"id", $"label", $"done").union(joined),
+          sum(when(!$"done", 1L).otherwise(0L)).as("undone"))
+        undone = Option(m("undone")).map(_.asInstanceOf[Long]).getOrElse(0L)
         fCache.unpersist()
         fCache = next
-        f = next.select($"id", $"label")
         jumps += 1
+        if (cfg.verbose)
+          System.err.println(s"[cc-hook] round=$round jump=$jumps undone=$undone at ${ms}ms")
       }
+      val f = fCache.select($"id", $"label")
+
+      if (cfg.verbose) System.err.println(s"[cc-hook] round=$round jumps done at ${ms}ms")
 
       // G4 contraction: relabel endpoints through f, drop intra-component
-      // edges (P2), normalize (P3), dedup (safe for CC).
+      // edges (P2), normalize (P3), dedup (safe for CC). Contracts the
+      // (connectivity-equivalent, ≤min(m,n)-edge) pre-contracted forest,
+      // not the full edge set — same components, O(n) relabel volume.
       val fB = bcIfSmall(f, edgeCount, cfg)
-      val contracted = edges.as("e")
+      val contracted = hookInput.as("e")
         .join(fB.as("fs"), $"e.src" === $"fs.id", "left")
         .join(fB.as("fd"), $"e.dst" === $"fd.id", "left")
         .select(
@@ -170,13 +256,20 @@ object ConnectedComponents {
 
       val prevEdges = edges
       val prevMapping = mapping
-      edges = contracted.localCheckpoint(true)
-      mapping = newMapping.localCheckpoint(true)
-      val newCount = edges.count()
+      val (newEdges, cm) = barrierObserved(
+        contracted, count(lit(1)).as("n"))
+      edges = newEdges
+      val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
+      mapping = newMapping.cutLineage()
+      if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
       fCache.unpersist(); prevEdges.unpersist(); prevMapping.unpersist()
 
       metrics += SuperstepMetrics(cfg.runId, "cc-hook", round,
         edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)
+      if (cfg.verbose)
+        System.err.println(s"[cc-hook] round=$round edgesIn=$edgeCount " +
+          s"edgesOut=$newCount jumps=$jumps ms=${(System.nanoTime() - t0) / 1000000}")
       edgeCount = newCount
       round += 1
 
@@ -203,8 +296,8 @@ object ConnectedComponents {
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
 
     // Edges kept canonical (src < dst) between steps.
-    var edges = edges0.toDF().localCheckpoint(true)
-    val vertsAll = mapping0.localCheckpoint(true)
+    var edges = edges0.toDF().cutLineage()
+    val vertsAll = mapping0.cutLineage()
     var sig = signature(edges)
     var round = 0
     var converged = edges.isEmpty
@@ -224,7 +317,7 @@ object ConnectedComponents {
         .select($"s.m".as("src"), $"e.dst".as("dst"))
         .filter($"src" =!= $"dst")
         .distinct()
-        .localCheckpoint(true)
+        .cutLineage()
 
       // Small-star: on (v < u) pairs keyed by u, attach N(u) ∪ {u} to
       // m(u) = min(N(u)) (all neighbors here are < u).
@@ -235,7 +328,7 @@ object ConnectedComponents {
         .union(minS.select($"m".as("src"), $"u".as("dst")))
         .filter($"src" =!= $"dst")
         .distinct()
-        .localCheckpoint(true)
+        .cutLineage()
 
       val newSig = signature(ss)
       converged = newSig == sig
@@ -282,8 +375,8 @@ object ConnectedComponents {
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
 
-    var edges = edges0.toDF().localCheckpoint(true)
-    var mapping = mapping0.localCheckpoint(true)
+    var edges = edges0.toDF().cutLineage()
+    var mapping = mapping0.cutLineage()
     var round = 0
     var edgeCount = edges.count()
 
@@ -325,8 +418,8 @@ object ConnectedComponents {
         .select($"m.id".as("id"), coalesce($"f.new", $"m.label").as("label"))
 
       val prevEdges = edges; val prevMapping = mapping
-      edges = contracted.localCheckpoint(true)
-      mapping = newMapping.localCheckpoint(true)
+      edges = contracted.cutLineage()
+      mapping = newMapping.cutLineage()
       val newCount = edges.count()
       prevEdges.unpersist(); prevMapping.unpersist()
 

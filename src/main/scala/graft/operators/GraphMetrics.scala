@@ -13,8 +13,7 @@ object GraphMetrics {
     * needs no salting). */
   def degrees(edges: Dataset[Edge]): DataFrame = {
     val canon = GraphIO.canonical(edges)
-    canon.select(col("src").as("id"))
-      .union(canon.select(col("dst").as("id")))
+    canon.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }
 

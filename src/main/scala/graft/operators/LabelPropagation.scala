@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.GraftLineage._
 import graft.graph.{Edge, GraphIO}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -30,13 +31,13 @@ object LabelPropagation {
     import spark.implicits._
 
     val canon = GraphIO.canonical(edges)
-    val bidir = GraphIO.bidirectional(canon).toDF().localCheckpoint(true)
+    val bidir = GraphIO.bidirectional(canon).toDF().cutLineage()
     val verts = GraphIO.vertices(canon).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
 
-    var labels = verts.select($"id", $"id".as("label")).localCheckpoint(true)
+    var labels = verts.select($"id", $"id".as("label")).cutLineage()
     var iter = 0
     var changed = 1L
 
@@ -57,10 +58,10 @@ object LabelPropagation {
         .select($"id",
           coalesce($"newLabel", $"label").as("label"),
           ($"newLabel".isNotNull && $"newLabel" =!= $"label").as("ch"))
-        .localCheckpoint(true)
+        .cutLineage()
       changed = newLabels.filter($"ch").count()
       labels.unpersist()
-      labels = newLabels.select($"id", $"label").localCheckpoint(true)
+      labels = newLabels.select($"id", $"label").cutLineage()
       newLabels.unpersist()
       iter += 1
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.GraftLineage._
 import graft.graph.{Edge, GraphIO}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -43,22 +44,35 @@ object PageRank {
     val verts = GraphIO.vertices(canon).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val n = verts.count()
     require(n > 0, "PageRank on an empty graph")
 
-    // Weighted adjacency: one row per directed edge with 1/outdeg(src).
+    // Weighted adjacency: one row per directed edge with 1/outdeg(src),
+    // hash-partitioned by src ONCE — the per-iteration join then reuses
+    // this partitioning (no edge shuffle per iteration; the rank side is
+    // already partitioned by id from the previous groupBy).
+    val p = spark.sessionState.conf.numShufflePartitions
     val outDeg = directed.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val wEdges = directed.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"outdeg").as("w"))
-      .localCheckpoint(true)
+      .repartition(p, $"src")
+      .cutLineage()
 
-    // Dangling = vertices with no out-edges (isolated ones here).
-    val dangling = verts.join(outDeg.select($"src".as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val nDangling = dangling.count()
+    // Dangling = vertices with no out-edges (isolated ones here). A flag
+    // column on the rank table, so dangling mass is an agg on cached
+    // ranks — no join per iteration.
+    val vertsFlagged = verts.as("v")
+      .join(outDeg.select($"src".as("id")).distinct().as("o"), Seq("id"), "left_anti")
+      .select($"id", lit(true).as("dangling"))
+      .union(verts.as("v").join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
+        .select($"id", lit(false).as("dangling")))
+    val nDangling = vertsFlagged.filter($"dangling").count()
 
-    var ranks = verts.select($"id", lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var ranks = vertsFlagged
+      .select($"id", lit(1.0 / n).as("rank"), $"dangling")
+      .repartition(p, $"id")
+      .cutLineage()
     var iter = 0
     var delta = Double.MaxValue
     val base = (1.0 - cfg.damping) / n
@@ -66,26 +80,28 @@ object PageRank {
     while (iter < cfg.maxIter && delta > cfg.tol) {
       val danglingMass =
         if (nDangling == 0) 0.0
-        else dangling.join(ranks, "id").agg(sum($"rank")).collect()(0).getDouble(0)
+        else ranks.filter($"dangling").agg(sum($"rank")).collect()(0).getDouble(0)
 
       val contribs = wEdges.as("e")
         .join(ranks.as("r"), $"e.src" === $"r.id")
         .groupBy($"e.dst".as("id"))
         .agg(sum($"e.w" * $"r.rank").as("contrib"))
 
-      val newRanks = verts.as("v")
+      // ranks is the full vertex set → left join carries every vertex,
+      // the old rank (for the delta) and the dangling flag in one pass.
+      val joined = ranks.as("r")
         .join(contribs.as("c"), Seq("id"), "left")
         .select($"id",
           (lit(base) + lit(cfg.damping) *
-            (coalesce($"contrib", lit(0.0)) + lit(danglingMass / n))).as("rank"))
-
+            (coalesce($"contrib", lit(0.0)) + lit(danglingMass / n))).as("rank"),
+          $"r.rank".as("prev"), $"dangling")
+        .cutLineage()
+      delta = joined.agg(sum(abs($"rank" - $"prev"))).collect()(0).getDouble(0)
       val prev = ranks
-      ranks = newRanks.localCheckpoint(true)
-      delta = ranks.as("a").join(prev.as("b"), Seq("id"))
-        .agg(sum(abs($"a.rank" - $"b.rank"))).collect()(0).getDouble(0)
+      ranks = joined.select($"id", $"rank", $"dangling")
       prev.unpersist()
       iter += 1
     }
-    Result(ranks, iter, delta)
+    Result(ranks.select($"id", $"rank"), iter, delta)
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.plans.Skew
+import graft.streaming.EdgeStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming: running degrees over a MemoryStream edge source") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val degrees = EdgeStreams.runningDegrees(
+      EdgeStreams.parseEdgeLines(in.toDF()))
+    val q = degrees.writeStream.format("memory").queryName("deg")
+      .outputMode("complete").start()
+    try {
+      in.addData("0 1", "1 2", "2 2", "junk", "2 0")
+      q.processAllAvailable()
+      val got = spark.table("deg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // edges: (0,1),(1,2),(0,2); self-loop + junk dropped
+      got shouldBe Map(0L -> 2L, 1L -> 2L, 2L -> 2L)
+      in.addData("3 0")
+      q.processAllAvailable()
+      spark.table("deg").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap.apply(3L) shouldBe 1L
+    } finally q.stop()
+  }
+
+  test("streaming: windowed co-occurrence with watermark drops late data") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val edges = EdgeStreams.windowedCooccurrence(events,
+      window_ = "10 minutes", watermark = "10 minutes")
+    val q = edges.writeStream.format("memory").queryName("cooc")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      in.addData((t(1), 1L, "click"), (t(2), 2L, "click"), (t(3), 9L, "view"))
+      q.processAllAvailable()
+      // advance watermark far past the first window so it closes
+      in.addData((t(59), 7L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("cooc").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      got should contain((1L, 2L))
+      got.exists(p => p._1 == 9L || p._2 == 9L) shouldBe false
+    } finally q.stop()
+  }
+
+  test("skew: two-phase join equals plain join") {
+    val big = spark.range(0, 10000).select(
+      when($"id" % 100 === 0, lit(7L)).otherwise($"id" % 500).as("k1"),
+      $"id".as("payload"))
+    val small = spark.range(0, 500).select($"id".as("k2"), ($"id" * 10).as("v"))
+    val plain = big.join(small, big("k1") === small("k2"))
+      .select("k1", "payload", "v").collect().toSet
+    val two = Skew.twoPhaseJoin(big, small, "k1", "k2", hotThreshold = 50)
+      .select("k1", "payload", "v").collect().toSet
+    two shouldBe plain
+  }
+
+  test("skew: salted max agg equals plain max") {
+    val df = spark.range(0, 20000).select(
+      ($"id" % 3).as("k"), ($"id" * 37 % 9999).as("v"))
+    val plain = df.groupBy($"k").agg(max($"v").as("agg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedAgg(df, $"k", $"v", max, salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    salted shouldBe plain
+  }
+
+  test("skew: hot-vertex split salts only hot rows") {
+    val star = graft.graph.Generators.star(spark, 1000).toDF()
+    val chain = graft.graph.Generators.chain(spark, 50).toDF()
+      .select(($"src" + 5000).as("src"), ($"dst" + 5000).as("dst"))
+    val split = Skew.splitHotVertices(star.union(chain), hotThreshold = 100, salts = 8)
+    val hotSalts = split.filter($"src" === 0).select("salt").distinct().count()
+    hotSalts should be > 1L
+    split.filter($"src" >= 5000).select("salt").distinct().count() shouldBe 1L
+  }
+}
