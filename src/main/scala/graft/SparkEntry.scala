@@ -94,6 +94,7 @@ object SparkEntry {
     // heuristic language id (stopword argmax + CJK detection)
     "text_lang" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"),
           graft.functions.TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
@@ -110,23 +111,18 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
         .orderBy("content_sha")),
     // MinHash banded signatures (LSH bucketing layer; xxhash64 → rows-only)
-    "dedup_minhash_bands" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id").as("id"), col("text"))
-        .select(col("id"), posexplode(transform(
-          sequence(lit(0), lit(15)),
-          b => xxhash64(b, concat_ws(",", transform(
-            slice(graft.functions.Dedup.minhashSignature(col("text"), 3, 64),
-              b * 4 + 1, lit(4)), h => h.cast("string")))))))
-        .toDF("id", "band", "bucket")
-        .orderBy("id", "band")
-    }),
+    "dedup_minhash_bands" -> ((s, dir) =>
+      graft.functions.Dedup.bandedSignatures(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .orderBy("id", "band")),
     // SimHash signatures (near-dup layer; xxhash64 → rows-only)
-    "dedup_simhash" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+    "dedup_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"),
           graft.functions.Dedup.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // exact brute-force cosine top-5 for the 10 lowest vec_ids
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -42,20 +42,36 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(i, s))))
   }
 
-  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
-    * band bucket. bands * rowsPerBand must equal numHashes. Output:
-    * (id_a, id_b) with id_a < id_b, distinct. */
-  def minhashCandidates(df: DataFrame, id: Column, text: Column,
-                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = df.select(id.as("id"),
-      minhashSignature(text, k, numHashes).as("sig"))
-    val banded = sig.select(col("id"),
+  /** Banded MinHash signatures (id, band, bucket) — the LSH bucketing
+    * layer. Two performance rules learned the hard way:
+    *  - the signature projection is MATERIALIZED (barrier) before the
+    *    per-band slices: otherwise Catalyst's CollapseProject inlines the
+    *    full 64-hash signature expression into every band (16× recompute
+    *    of the most expensive expression in the pipeline);
+    *  - the input is repartitioned first: a small parquet file is one
+    *    split, and this is heavy interpreted per-row compute that must
+    *    spread across cores. */
+  def bandedSignatures(df: DataFrame, id: Column, text: Column,
+                       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sig = org.apache.spark.sql.GraftLineage.barrier(
+      df.repartition(p).select(id.as("id"),
+        minhashSignature(text, k, bands * rowsPerBand).as("sig")))
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             h => h.cast("string")))))))
       .toDF("id", "band", "bucket")
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: docs sharing any
+    * band bucket. bands * rowsPerBand must equal numHashes. Output:
+    * (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedSignatures(df, id, text, k, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -76,7 +92,9 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.7): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands, rowsPerBand)
@@ -90,21 +108,24 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit b set iff the majority of
-    * tokens have bit b set in their xxhash64. Pure expressions. */
+    * tokens have bit b set in their xxhash64. Pure expressions, single
+    * pass: each token is hashed ONCE and folded into 64 bit-counters
+    * (the naive per-bit formulation re-hashes every token 64 times).
+    * shiftleft/shiftrightunsigned go through call_function — the Scala
+    * wrappers only take a literal Int shift, the SQL functions take
+    * columns. */
   def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
-    // note: shiftleft/shiftrightunsigned via call_function — the Scala
-    // wrappers only take a literal Int shift, the SQL functions take columns
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(size(filter(toks,
-        t => call_function("shiftrightunsigned", xxhash64(t), b)
-          .bitwiseAND(lit(1L)) === 1L)) * 2 > n,
-        lit(1L)).otherwise(lit(0L)))
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx, (c, b) =>
+        c + call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L))))
     when(n === 0, lit(0L)).otherwise(
-      aggregate(sequence(lit(0), lit(63)), lit(0L),
-        (acc, b) => acc.bitwiseOR(
-          call_function("shiftleft", element_at(bits, b + 1), b))))
+      aggregate(zip_with(counts, bitIdx, (c, b) =>
+          when(c * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
@@ -112,7 +133,9 @@ object Dedup {
     * equal). */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = org.apache.spark.sql.GraftLineage.barrier(
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     val chunked = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
           c => call_function("shiftrightunsigned", col("sig"), c * 16)

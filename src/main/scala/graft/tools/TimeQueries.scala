@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: wall-time each SparkEntry query on a given SF dir. */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      } catch { case e: Throwable =>
+        println(f"TIMING $n%-24s FAILED ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
