@@ -47,6 +47,8 @@ object SparkEntry {
     "cc_supplier_star" -> ((s, dir) => ccLabels(s, dir, CCStrategy.AlternatingStar)),
     // same fixpoint via PPoPP'18 sampled contraction — same oracle
     "cc_supplier_sampled" -> ((s, dir) => ccLabels(s, dir, CCStrategy.SampledContraction)),
+    // same fixpoint via G5 coin-toss hooking (seeded) — same oracle
+    "cc_supplier_random" -> ((s, dir) => ccLabels(s, dir, CCStrategy.RandomizedHook)),
     // multi-component CC (same-nation restriction)
     "cc_nation" -> ((s, dir) => ccNationLabels(s, dir)),
     // A4/A5: component count + sizes
@@ -196,6 +198,7 @@ object SparkEntry {
     "cc_supplier" -> ccOracleSql(supplierEdgesSql),
     "cc_supplier_star" -> ccOracleSql(supplierEdgesSql),
     "cc_supplier_sampled" -> ccOracleSql(supplierEdgesSql),
+    "cc_supplier_random" -> ccOracleSql(supplierEdgesSql),
     "cc_nation" -> ccOracleSql(nationEdgesSql),
     "cc_sizes" ->
       s"""WITH RECURSIVE e AS ($nationEdgesSql),

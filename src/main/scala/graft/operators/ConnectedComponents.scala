@@ -47,6 +47,11 @@ object ConnectedComponents {
     case object HookAndContract extends CCStrategy
     case object AlternatingStar extends CCStrategy
     case object SampledContraction extends CCStrategy
+    /** G5 — coin-toss child hooking (random-mate), the randomized OpenMP
+      * variant (`randomized_OPENMP_cc.cpp:164-201`), derandomized: the
+      * per-round "coin" is `xxhash64(seed, round, id)`, so runs are
+      * reproducible at any parallelism. */
+    case object RandomizedHook extends CCStrategy
   }
 
   final case class Config(
@@ -109,6 +114,7 @@ object ConnectedComponents {
       case CCStrategy.HookAndContract    => hookAndContract(cleanedDs, mapping0, cfg)
       case CCStrategy.AlternatingStar    => alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
+      case CCStrategy.RandomizedHook     => randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
     }
     cleaned.unpersist()
     Result(labels.select($"id", $"label").as[VertexLabel], metrics)
@@ -431,6 +437,74 @@ object ConnectedComponents {
     require(edgeCount == 0,
       s"sampled CC did not converge in ${cfg.maxRounds} rounds")
     (mapping, metrics.toSeq)
+  }
+
+  // ---------------------------------------------------------------------
+  // Strategy 4: G5 randomized coin-toss hooking (random-mate), seeded.
+  // ---------------------------------------------------------------------
+  private def randomizedHook(
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      (DataFrame, Seq[SuperstepMetrics]) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val metrics = ArrayBuffer.empty[SuperstepMetrics]
+
+    var edges = edges0.toDF().cutLineage()
+    var mapping = mapping0.cutLineage()
+    var round = 0
+    var edgeCount = edges.count()
+
+    while (edgeCount > 0 && round < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+      // Deterministic per-round coin: heads(v) ⟺ hash is even.
+      def heads(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(lit(cfg.seed), lit(round), c), lit(2)) === 0
+      // Tails hook to a heads-neighbor (max for determinism); the hook
+      // forest has depth 1 by construction (a head never hooks), so no
+      // pointer jumping is needed — the reference resolves the same
+      // races with atomics + later root finding.
+      val bidir = edges.select(explode(array(
+          struct($"src".as("a"), $"dst".as("b")),
+          struct($"dst".as("a"), $"src".as("b")))).as("e"))
+        .select($"e.a".as("a"), $"e.b".as("b"))
+      val f = bidir.filter(!heads($"a") && heads($"b"))
+        .groupBy($"a".as("id")).agg(max($"b").as("label"))
+        .cutLineage()
+
+      val fB = bcIfSmall(f, edgeCount, cfg)
+      val contracted = edges.as("e")
+        .join(fB.as("fs"), $"e.src" === $"fs.id", "left")
+        .join(fB.as("fd"), $"e.dst" === $"fd.id", "left")
+        .select(coalesce($"fs.label", $"e.src").as("u"),
+                coalesce($"fd.label", $"e.dst").as("v"))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
+        .distinct()
+      val newMapping = mapping.as("m")
+        .join(fB.as("f"), $"m.label" === $"f.id", "left")
+        .select($"m.id".as("id"), coalesce($"f.label", $"m.label").as("label"))
+
+      val prevEdges = edges; val prevMapping = mapping
+      val (newEdges, cm) = barrierObserved(contracted, count(lit(1)).as("n"))
+      edges = newEdges
+      mapping = newMapping.cutLineage()
+      val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      f.unpersist(); prevEdges.unpersist(); prevMapping.unpersist()
+      metrics += SuperstepMetrics(cfg.runId, "cc-random", round,
+        edgeCount, newCount, -1L, 0, (System.nanoTime() - t0) / 1000000)
+      edgeCount = newCount
+      round += 1
+    }
+    require(edgeCount == 0,
+      s"randomized CC did not converge in ${cfg.maxRounds} rounds " +
+        "(reference analogue: stall detector, randomized_OPENMP_cc.cpp:143-150)")
+
+    // Representatives are arbitrary (coin tosses) — canonicalize to the
+    // component max (every member, incl. the rep, is present in mapping).
+    val rep = mapping.groupBy($"label").agg(max($"id").as("rep"))
+    val out = mapping.as("m").join(rep.as("r"), $"m.label" === $"r.label")
+      .select($"m.id".as("id"), $"r.rep".as("label"))
+    (out, metrics.toSeq)
   }
 
   /** Broadcast hint for relabel maps once they are known-small. The map has

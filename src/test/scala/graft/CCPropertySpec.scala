@@ -58,6 +58,7 @@ class CCPropertySpec extends SparkSpec {
       withClue(s"edges=$edges") {
         run(edges, CCStrategy.AlternatingStar) shouldBe a
         run(edges, CCStrategy.SampledContraction) shouldBe a
+        run(edges, CCStrategy.RandomizedHook) shouldBe a
       }
     }
   }

@@ -22,7 +22,8 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   private val strategies = Seq(
-    CCStrategy.HookAndContract, CCStrategy.AlternatingStar, CCStrategy.SampledContraction)
+    CCStrategy.HookAndContract, CCStrategy.AlternatingStar,
+    CCStrategy.SampledContraction, CCStrategy.RandomizedHook)
 
   test("small.txt: labels exact vs oracle, all strategies") {
     val g = GraphIO.readTextGraph(spark, resourcePath("graphs/small.txt"))

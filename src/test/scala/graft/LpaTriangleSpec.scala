@@ -90,6 +90,22 @@ class LpaTriangleSpec extends SparkSpec {
     got shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
   }
 
+  test("partition histogram, prefix sum, dense relabel utilities") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 100).toDF("v").repartition(4)
+    val hist = graft.operators.GraphMetrics.partitionHistogram(df).collect()
+    hist.map(_.getLong(1)).sum shouldBe 100L
+    val ps = graft.operators.GraphMetrics.prefixSum(
+      spark.createDataset(Seq((1L, 10L), (2L, 5L), (3L, 7L))).toDF("i", "v"), "i", "v")
+      .orderBy("i").collect().map(_.getAs[Long]("prefix_sum"))
+    ps shouldBe Array(10L, 15L, 22L)
+    val labels = spark.createDataset(Seq((1L, 9L), (2L, 9L), (3L, 4L)))
+      .toDF("id", "label")
+    val dense = graft.operators.GraphMetrics.denseRelabel(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dense shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 0L) // labels 4,9 → 0,1
+  }
+
   test("degrees: star hub has n-1, leaves 1") {
     val got = GraphMetrics.degrees(Generators.star(spark, 8))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
