@@ -46,7 +46,8 @@ object PageRank {
       .distinct()
       .cutLineage()
     val n = verts.count()
-    require(n > 0, "PageRank on an empty graph")
+    if (n == 0) // empty graph → empty rank table (not an error)
+      return Result(verts.select($"id", lit(0.0).as("rank")), 0, 0.0)
 
     // Weighted adjacency: one row per directed edge with 1/outdeg(src),
     // hash-partitioned by src ONCE — the per-iteration join then reuses
