@@ -116,7 +116,7 @@ object ConnectedComponents {
       case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.RandomizedHook     => randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
     }
-    cleaned.unpersist()
+    cleaned.releaseLineage()
     Result(labels.select($"id", $"label").as[VertexLabel], metrics)
   }
 
@@ -230,7 +230,7 @@ object ConnectedComponents {
           don.select($"id", $"label", $"done").union(joined),
           sum(when(!$"done", 1L).otherwise(0L)).as("undone"))
         undone = Option(m("undone")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        fCache.unpersist()
+        fCache.releaseLineage()
         fCache = next
         jumps += 1
         if (cfg.verbose)
@@ -269,7 +269,7 @@ object ConnectedComponents {
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
       mapping = newMapping.cutLineage()
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
-      fCache.unpersist(); prevEdges.unpersist(); prevMapping.unpersist()
+      fCache.releaseLineage(); prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
       metrics += SuperstepMetrics(cfg.runId, "cc-hook", round,
         edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)
@@ -338,7 +338,7 @@ object ConnectedComponents {
 
       val newSig = signature(ss)
       converged = newSig == sig
-      edges.unpersist(); ls.unpersist()
+      edges.releaseLineage(); ls.releaseLineage()
       edges = ss
       sig = newSig
       metrics += SuperstepMetrics(cfg.runId, "cc-star", round,
@@ -427,7 +427,7 @@ object ConnectedComponents {
       edges = contracted.cutLineage()
       mapping = newMapping.cutLineage()
       val newCount = edges.count()
-      prevEdges.unpersist(); prevMapping.unpersist()
+      prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
       metrics += SuperstepMetrics(cfg.runId, "cc-sampled", round,
         edgeCount, newCount, nEst, 0, (System.nanoTime() - t0) / 1000000)
@@ -489,7 +489,7 @@ object ConnectedComponents {
       edges = newEdges
       mapping = newMapping.cutLineage()
       val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      f.unpersist(); prevEdges.unpersist(); prevMapping.unpersist()
+      f.releaseLineage(); prevEdges.releaseLineage(); prevMapping.releaseLineage()
       metrics += SuperstepMetrics(cfg.runId, "cc-random", round,
         edgeCount, newCount, -1L, 0, (System.nanoTime() - t0) / 1000000)
       edgeCount = newCount

@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.GraftLineage._
+import org.apache.spark.sql.GraftLineage
 import graft.graph.{Edge, GraphIO}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Synchronous label propagation for community detection (north-rule
   * operator; semantics from Raghavan et al. 2007, made deterministic:
@@ -16,7 +16,11 @@ import org.apache.spark.sql.expressions.Window
   * two-level hash aggregation (groupBy (dst,label) count, then per-dst
   * argmax via max_by) — the per-dst argmax uses `max_by(label-struct)`
   * rather than a window sort, keeping it a pure hash agg with map-side
-  * partial aggregation (no per-key sort, skew-tolerant).
+  * partial aggregation (no per-key sort, skew-tolerant). The
+  * changed-vertex count is folded into the label materialization job via
+  * `Dataset.observe`, so each iteration is ONE Spark job (the separate
+  * count action was the dominant serial cost); superseded label
+  * snapshots release their checkpoint blocks eagerly.
   */
 object LabelPropagation {
 
@@ -58,13 +62,16 @@ object LabelPropagation {
         .select($"id",
           coalesce($"newLabel", $"label").as("label"),
           ($"newLabel".isNotNull && $"newLabel" =!= $"label").as("ch"))
-        .cutLineage()
-      changed = newLabels.filter($"ch").count()
-      labels.unpersist()
-      labels = newLabels.select($"id", $"label").cutLineage()
-      newLabels.unpersist()
+      // ONE job: materialize the new labels while observing how many
+      // vertices changed (the convergence signal).
+      val (next, m) = barrierObserved(newLabels,
+        coalesce(sum(when($"ch", 1L).otherwise(0L)), lit(0L)).as("changed"))
+      changed = m("changed").asInstanceOf[Long]
+      GraftLineage.release(labels)
+      labels = next.select($"id", $"label")
       iter += 1
     }
+    GraftLineage.release(bidir); GraftLineage.release(verts)
     Result(labels, iter, changed == 0)
   }
 }

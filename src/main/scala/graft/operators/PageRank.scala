@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.GraftLineage._
+import org.apache.spark.sql.GraftLineage
 import graft.graph.{Edge, GraphIO}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** PageRank by power iteration (north-rule operator; no reference
   * implementation — semantics from Page et al. 1999 with the standard
@@ -17,17 +17,23 @@ import org.apache.spark.storage.StorageLevel
   * Scale design: the edge table is weighted once up-front
   * (`1/outdeg(src)`) and persisted — each iteration is then exactly one
   * shuffle-join (ranks ⋈ weighted edges on src) + one hash aggregation
-  * (groupBy dst, partial agg absorbs in-degree skew) + a bounded scalar
-  * action for the convergence test. Rank tables are hash-partitioned by
-  * id throughout; lineage is cut with eager localCheckpoint every
-  * iteration.
+  * (groupBy dst, partial agg absorbs in-degree skew). Convergence delta
+  * AND next iteration's dangling mass are folded into the rank
+  * materialization job via `Dataset.observe`, so each iteration is ONE
+  * Spark job — at 100 iterations that removes ~200 driver round-trips
+  * versus separate agg actions (the measured serial floor of the
+  * iterative suite). Rank tables are hash-partitioned by id throughout;
+  * superseded rank snapshots release their checkpoint blocks eagerly.
   */
 object PageRank {
 
   final case class Config(
       damping: Double = 0.85,
       maxIter: Int = 100,
-      /** stop when the L1 delta between iterations falls below this. */
+      /** stop when the L1 delta between iterations falls below this.
+        * Set 0.0 to run exactly `maxIter` iterations (early exit only at
+        * an exact fixpoint, where further iterations are no-ops) — the
+        * pinned-iteration mode used by the DuckDB oracle. */
       tol: Double = 1e-10,
       checkpointEvery: Int = 8)
 
@@ -61,28 +67,26 @@ object PageRank {
       .cutLineage()
 
     // Dangling = vertices with no out-edges (isolated ones here). A flag
-    // column on the rank table, so dangling mass is an agg on cached
-    // ranks — no join per iteration.
+    // column on the rank table; dangling mass for iteration t+1 is
+    // observed during iteration t's rank materialization — no extra job.
     val vertsFlagged = verts.as("v")
       .join(outDeg.select($"src".as("id")).distinct().as("o"), Seq("id"), "left_anti")
       .select($"id", lit(true).as("dangling"))
       .union(verts.as("v").join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
         .select($"id", lit(false).as("dangling")))
-    val nDangling = vertsFlagged.filter($"dangling").count()
 
-    var ranks = vertsFlagged
-      .select($"id", lit(1.0 / n).as("rank"), $"dangling")
-      .repartition(p, $"id")
-      .cutLineage()
+    val (ranks0, m0) = barrierObserved(
+      vertsFlagged
+        .select($"id", lit(1.0 / n).as("rank"), $"dangling")
+        .repartition(p, $"id"),
+      coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
+    var ranks = ranks0
+    var danglingMass = m0("dmass").asInstanceOf[Double]
     var iter = 0
     var delta = Double.MaxValue
     val base = (1.0 - cfg.damping) / n
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
-      val danglingMass =
-        if (nDangling == 0) 0.0
-        else ranks.filter($"dangling").agg(sum($"rank")).collect()(0).getDouble(0)
-
       val contribs = wEdges.as("e")
         .join(ranks.as("r"), $"e.src" === $"r.id")
         .groupBy($"e.dst".as("id"))
@@ -90,19 +94,24 @@ object PageRank {
 
       // ranks is the full vertex set → left join carries every vertex,
       // the old rank (for the delta) and the dangling flag in one pass.
+      // ONE job: materialize the new ranks while observing the L1 delta
+      // and the next iteration's dangling mass.
       val joined = ranks.as("r")
         .join(contribs.as("c"), Seq("id"), "left")
         .select($"id",
           (lit(base) + lit(cfg.damping) *
             (coalesce($"contrib", lit(0.0)) + lit(danglingMass / n))).as("rank"),
           $"r.rank".as("prev"), $"dangling")
-        .cutLineage()
-      delta = joined.agg(sum(abs($"rank" - $"prev"))).collect()(0).getDouble(0)
-      val prev = ranks
-      ranks = joined.select($"id", $"rank", $"dangling")
-      prev.unpersist()
+      val (next, m) = barrierObserved(joined,
+        coalesce(sum(abs($"rank" - $"prev")), lit(0.0)).as("delta"),
+        coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
+      delta = m("delta").asInstanceOf[Double]
+      danglingMass = m("dmass").asInstanceOf[Double]
+      GraftLineage.release(ranks)
+      ranks = next.select($"id", $"rank", $"dangling")
       iter += 1
     }
+    GraftLineage.release(wEdges); GraftLineage.release(verts)
     Result(ranks.select($"id", $"rank"), iter, delta)
   }
 }

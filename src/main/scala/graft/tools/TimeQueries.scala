@@ -23,6 +23,9 @@ object TimeQueries {
       } catch { case e: Throwable =>
         println(f"TIMING $n%-24s FAILED ${e.getMessage.take(80)}")
       }
+      // drop leftover persisted/checkpoint blocks so queries don't
+      // contaminate each other's wall times
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -1,5 +1,7 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.execution.LogicalRDD
+
 /** Lineage barrier for iterative Dataset algorithms.
   *
   * `Dataset.localCheckpoint(eager = true)` truncates the RDD lineage and
@@ -14,18 +16,44 @@ package org.apache.spark.sql
   * rewraps the checkpointed internal RDD in a fresh `LogicalRDD` with
   * default statistics, resetting the estimate chain each superstep.
   *
+  * Block hygiene: localCheckpoint pins its partitions as storage blocks
+  * of the *inner* checkpointed RDD. Calling `.unpersist()` on the
+  * returned DataFrame is a NO-OP for those blocks (the Dataset cache
+  * manager knows nothing about them), so long benches / many-superstep
+  * runs would accumulate stale blocks until driver GC eventually
+  * collects the RDD handle — block-manager eviction + GC churn in the
+  * meantime. Use [[release]] (or `ds.releaseLineage()`) once a barrier'd
+  * frame's data is no longer needed; it unpersists the underlying
+  * checkpointed RDD immediately.
+  *
   * Lives in `org.apache.spark.sql` to reach the `private[sql]`
   * `internalCreateDataFrame`. Public Spark API only, no behavior patching.
   */
 object GraftLineage {
   /** Eagerly materialize `df`, truncating RDD lineage, logical plan AND
-    * statistics lineage. */
+    * statistics lineage. The returned frame's plan wraps the actual
+    * checkpointed RDD so [[release]] can free its blocks later. */
   def barrier(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = cp.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    spark.internalCreateDataFrame(
-      cp.queryExecution.toRdd, cp.schema, isStreaming = false)
+    // The checkpointed RDD (the one holding the storage blocks) sits in
+    // cp's LogicalRDD; rewrap THAT rdd, not a derived toRdd, so release()
+    // on the new frame reaches the real blocks.
+    val rdd = cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+      .getOrElse(cp.queryExecution.toRdd)
+    spark.internalCreateDataFrame(rdd, cp.schema, isStreaming = false)
+  }
+
+  /** Free the storage blocks of every barrier'd/checkpointed RDD in this
+    * frame's plan. Only call once the frame's data has been consumed —
+    * a localCheckpoint'd RDD cannot be recomputed after unpersist. */
+  def release(ds: Dataset[_]): Unit = {
+    val dsC = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    dsC.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _             => ()
+    }
   }
 
   /** [[barrier]] that also evaluates aggregate metrics over the rows in
@@ -39,12 +67,14 @@ object GraftLineage {
     (out, obs.get) // blocks until the checkpoint job reports the metrics
   }
 
-  /** `ds.cutLineage()` — the typed sugar for [[barrier]]. */
+  /** `ds.cutLineage()` — the typed sugar for [[barrier]];
+    * `ds.releaseLineage()` — the typed sugar for [[release]]. */
   implicit class GraftLineageOps[T](private val ds: Dataset[T]) extends AnyVal {
     def cutLineage(): Dataset[T] = {
       val dsC = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[T]]
       implicit val enc: Encoder[T] = dsC.encoder
       barrier(dsC.toDF()).as[T]
     }
+    def releaseLineage(): Unit = release(ds)
   }
 }
