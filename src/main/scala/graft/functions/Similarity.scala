@@ -101,15 +101,18 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via LSH buckets — the embedding leg of the dedup suite. */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
-                           dim: Int, planes: Int = 16, bandBits: Int = 8): DataFrame = {
+                           dim: Int, planes: Int = 16, bandBits: Int = 8,
+                           maxBucket: Int = 2000): DataFrame = {
     val bands = planes / bandBits
-    val sig = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
-        srpSignature(col("embedding"), planes, dim).as("sig"))
-      .select(col("id"), col("emb"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          call_function("shiftrightunsigned", col("sig"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)))))
-      .toDF("id", "emb", "band", "bucket")
+    val sig = graft.plans.Skew.capGroups(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
+          srpSignature(col("embedding"), planes, dim).as("sig"))
+        .select(col("id"), col("emb"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            call_function("shiftrightunsigned", col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)))))
+        .toDF("id", "emb", "band", "bucket"),
+      Seq(col("band"), col("bucket")), col("id"), maxBucket)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -45,17 +45,51 @@ object Skew {
     joinedHot.union(joinedCold)
   }
 
-  /** Salted two-level aggregation for a skewed groupBy with a
-    * reassociable aggregate (max/min/sum/count): groupBy (key, salt) →
-    * partial, then groupBy key → final. Spark's map-side partial agg
-    * already handles most skew; explicit salting additionally splits a
-    * hot key across REDUCERS, for aggregates whose per-key state is
-    * large or when partial agg is disabled. */
+  /** Salted two-level aggregation for a skewed groupBy with an
+    * IDEMPOTENT-under-re-aggregation combiner (max/min/sum): groupBy
+    * (key, salt) → partial, then the SAME aggregate over the partials.
+    * For aggregates where partial and final differ (count → sum,
+    * avg → sum/sum), use the two-function overload. Spark's map-side
+    * partial agg already handles most skew; explicit salting additionally
+    * splits a hot key across REDUCERS, for aggregates whose per-key state
+    * is large or when partial agg is disabled. */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
-                agg: Column => Column, salts: Int = 16): DataFrame = {
+                agg: Column => Column, salts: Int): DataFrame =
+    saltedAgg(df, key, value, agg, agg, salts)
+
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                agg: Column => Column): DataFrame =
+    saltedAgg(df, key, value, agg, agg, 16)
+
+  /** [[saltedAgg]] with distinct partial/final aggregates — the general
+    * two-level form (count: partial = count, final = sum of partials). */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                partialAgg: Column => Column, finalAgg: Column => Column,
+                salts: Int): DataFrame = {
     val salted = df.groupBy(key.as("k"), pmod(xxhash64(value), lit(salts)).as("salt"))
-      .agg(agg(value).as("partial"))
-    salted.groupBy(col("k")).agg(agg(col("partial")).as("agg"))
+      .agg(partialAgg(value).as("partial"))
+    salted.groupBy(col("k")).agg(finalAgg(col("partial")).as("agg"))
+  }
+
+  /** Deterministically cap rows per key-group (`row_number` ≤ maxSize,
+    * ordered by `order`): the guard that keeps LSH-bucket self-joins
+    * subquadratic when a degenerate bucket appears (thousands of empty /
+    * near-identical documents — guaranteed in web corpora). Truncated
+    * groups lose candidate pairs beyond the cap — run EXACT dedup first
+    * so identical-content floods never reach the near-dup stage. With
+    * SPARK_GRAFT_VERBOSE=1 the number of dropped rows is counted and
+    * logged (extra action, diagnostics only). */
+  def capGroups(df: DataFrame, keys: Seq[Column], order: Column,
+                maxSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(order)
+    val ranked = df.withColumn("_rn", row_number().over(w))
+    if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")) {
+      val dropped = ranked.filter(col("_rn") > maxSize).count()
+      if (dropped > 0)
+        System.err.println(s"[skew] capGroups dropped $dropped rows (cap=$maxSize)")
+    }
+    ranked.filter(col("_rn") <= maxSize).drop("_rn")
   }
 
   /** Hot-vertex split for adjacency processing: rows of hot vertices get

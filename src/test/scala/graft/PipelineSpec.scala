@@ -47,6 +47,27 @@ class PipelineSpec extends SparkSpec {
     pairs.exists(p => p._1 == 2L || p._2 == 2L) shouldBe false
   }
 
+  test("LSH bucket cap keeps a degenerate bucket bounded; planted pair survives") {
+    // 2000 identical docs (one degenerate bucket per band) + a distinct
+    // near-dup pair. Uncapped, the self-join would generate 16 × 2000²/2
+    // ≈ 32M candidate rows; capped at 20 it stays tiny AND the planted
+    // pair (whose buckets are its own) is still found.
+    val flood = spark.range(0, 2000).select($"id".as("doc_id"),
+      lit("spam spam spam spam spam spam spam spam wonderful spam").as("text"))
+    // near-dup pair differing only in the final token (jaccard 7/9 → the
+    // 16-band LSH finds it; xxhash64 is fixed so the outcome is
+    // deterministic, verified once when this test was written)
+    val planted = Seq(
+      (100000L, "a genuinely different document about graph contraction on spark today"),
+      (100001L, "a genuinely different document about graph contraction on spark tomorrow"))
+    val docs2 = flood.union(spark.createDataset(planted).toDF("doc_id", "text"))
+    val cands = Dedup.minhashCandidates(docs2, $"doc_id", $"text", maxBucket = 20)
+    val n = cands.count()
+    // per band ≤ C(20,2)=190 pairs from the flood bucket + 1 planted pair
+    n should be <= (16L * 190 + 16)
+    cands.filter($"id_a" === 100000L && $"id_b" === 100001L).count() shouldBe 1L
+  }
+
   test("jaccard verification is exact") {
     val j = docs.filter($"doc_id".isin(0L, 1L))
       .agg(Dedup.jaccard(

@@ -74,6 +74,16 @@ class StreamingSkewSpec extends SparkSpec {
     salted shouldBe plain
   }
 
+  test("skew: salted count agg (partial count, final sum) equals plain count") {
+    val df = spark.range(0, 20000).select(
+      ($"id" % 3).as("k"), ($"id" * 37 % 9999).as("v"))
+    val plain = df.groupBy($"k").agg(count($"v").as("agg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedAgg(df, $"k", $"v", count, sum, salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    salted shouldBe plain
+  }
+
   test("skew: hot-vertex split salts only hot rows") {
     val star = graft.graph.Generators.star(spark, 1000).toDF()
     val chain = graft.graph.Generators.chain(spark, 50).toDF()
