@@ -90,6 +90,35 @@ class LpaTriangleSpec extends SparkSpec {
     got shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
   }
 
+  test("per-vertex agrees with brute force on random graphs") {
+    for (seed <- 1 to 2) {
+      val edges = Generators.random(spark, 40, 160, seed).collect()
+        .map(e => (e.src, e.dst)).toSeq
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val verts = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val oracle = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        (a, b) <- canon
+        c <- verts if c > b && canon((a, c)) && canon((b, c))
+      } { oracle(a) += 1; oracle(b) += 1; oracle(c) += 1 }
+      val got = TriangleCount.perVertex(
+          spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe oracle.toMap
+    }
+  }
+
+  test("degree orientation kills hub wedges: mid-id star generates none") {
+    // Star with hub id 500, leaves 0..99 and 1000..1099: the old id-ordered
+    // wedge build (e1.dst == e2.src) would generate 100×100 wedges at the
+    // hub; degree orientation points every edge leaf→hub, so zero wedges.
+    val star = ((0L until 100L) ++ (1000L until 1100L)).map(l => Edge(l, 500L))
+    val canon = graft.graph.GraphIO.canonical(spark.createDataset(star))
+    TriangleCount.wedges(TriangleCount.orient(canon)).count() shouldBe 0L
+    TriangleCount.perVertex(spark.createDataset(star)).count() shouldBe 0L
+  }
+
   test("partition histogram, prefix sum, dense relabel utilities") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 100).toDF("v").repartition(4)
