@@ -67,18 +67,33 @@ object SparkEntry {
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
-    // PageRank (power iteration, damping .85, dangling redistribution);
-    // iterative + floating point → rows-only driver check, allclose-tested
-    // against a dense oracle in PageRankSpec
+    // PageRank (power iteration, damping .85, dangling redistribution),
+    // PINNED to prIters iterations (tol=0) so the fixed-point loop is
+    // DuckDB-expressible as an unrolled CTE; ranks rounded to 7 dp on
+    // both sides (fp sum-order noise ≪ 1e-7). Convergence mode (default
+    // tol) is allclose-tested against a dense oracle in PageRankSpec.
     "pagerank" -> ((s, dir) =>
-      graft.operators.PageRank.run(EdgeDerivation.supplierCooccurrenceByNation(s, dir))
-        .ranks.orderBy("id")),
-    // deterministic synchronous label propagation (ties → min label);
-    // iterative → rows-only check, oracle-tested in LpaTriangleSpec
+      graft.operators.PageRank.run(
+          EdgeDerivation.supplierCooccurrenceByNation(s, dir),
+          cfg = graft.operators.PageRank.Config(maxIter = prIters, tol = 0.0))
+        .ranks.select(col("id"), round(col("rank"), 7).as("rank"))
+        .orderBy("id")),
+    // deterministic synchronous label propagation (ties → min label),
+    // integer fixpoint → exactly reproducible by an unrolled-CTE oracle
+    // at the same iteration cap (early convergence is a fixpoint, so
+    // extra oracle iterations are no-ops)
     "lpa" -> ((s, dir) =>
       graft.operators.LabelPropagation.run(
-        EdgeDerivation.supplierCooccurrenceByNation(s, dir))
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir),
+        cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters))
         .labels.orderBy("id")),
+    // reference text-format ingestion (S1 header / S2 edge scan / P4
+    // bounds) on the hard-signal path: CC over a committed fixture graph
+    "cc_text_fixture" -> ((s, dir) => {
+      val g = GraphIO.readTextGraph(s, textFixturePath)
+      GraphIO.validateBounds(g.edges, g.vertexCount)
+      ConnectedComponents.run(g.edges).labels.toDF().orderBy("id")
+    }),
     // north-rule per-row invariant: content sha256 across a derived view
     "content_sha" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -157,6 +172,11 @@ object SparkEntry {
     })
   )
 
+  /** Pinned iteration counts for the oracle-gated iterative queries. */
+  private val prIters = 12
+  private val lpaIters = 20
+  private val textFixturePath = "/root/repo/src/test/resources/graphs/medium1.txt"
+
   // Shared SQL fragments for the DuckDB oracle (same parquet tables).
   private val supplierEdgesSql =
     """SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -185,9 +205,96 @@ object SparkEntry {
        |SELECT id, CAST(max(lbl) AS BIGINT) AS label
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Fixed-iteration PageRank as an unrolled chain of CTEs (aggregates
+    * are not allowed in a recursive CTE term), mirroring the engine's
+    * update rule exactly: rank_{t+1}(v) = (1-d)/n + d·Σ_{u→v}
+    * rank_t(u)/outdeg(u); no dangling vertices exist in a co-occurrence
+    * graph. `CAST(1.0 AS DOUBLE)` forces double arithmetic (DuckDB
+    * decimal literals would otherwise compute 1-d exactly, diverging
+    * from IEEE at the 1e-17 level — harmless under the 7 dp round, but
+    * matching exactly costs nothing). */
+  private def pagerankOracleSql(edgesSql: String, iters: Int, d: Double): String = {
+    val steps = (1 to iters).map { t =>
+      s"""r$t AS (SELECT v.id,
+         |  (CAST(1.0 AS DOUBLE) - $d)/(SELECT n FROM nn) + $d * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT w.dst AS id, sum(w.w * r.rank) AS c
+         |    FROM w JOIN r${t - 1} r ON w.src = r.id GROUP BY w.dst) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |deg AS (SELECT src, count(*) AS od FROM bidir GROUP BY src),
+       |w AS (SELECT b.src, b.dst, CAST(1.0 AS DOUBLE)/d.od AS w
+       |      FROM bidir b JOIN deg d USING (src)),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM v),
+       |$steps
+       |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** Fixed-iteration synchronous LPA (most frequent neighbor label, ties
+    * → smallest) as an unrolled chain of CTEs — integer state, exact. */
+  private def lpaOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""l$t AS (SELECT id, nl AS label FROM (
+         |  SELECT b.dst AS id, l.label AS nl,
+         |    row_number() OVER (PARTITION BY b.dst
+         |                       ORDER BY count(*) DESC, l.label ASC) AS rn
+         |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
+         |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "pagerank" -> pagerankOracleSql(nationEdgesSql, prIters, 0.85),
+    "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |    round(CASE WHEN nq * nc = 0 THEN CAST(0.0 AS DOUBLE)
+        |               ELSE d/(nq*nc) END, 8) AS cos
+        |  FROM (
+        |    SELECT query_id, nbr_id,
+        |      list_sum(list_transform(list_zip(qe, ce),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d,
+        |      sqrt(list_sum(list_transform(qe,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+        |      sqrt(list_sum(list_transform(ce,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        |    FROM q CROSS JOIN c WHERE query_id <> nbr_id) s)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos FROM (
+        |  SELECT query_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, nbr_id ASC) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "cc_text_fixture" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+         |  FROM read_csv('$textFixturePath', sep=' ',
+         |                names=['a','b'], skip=1, header=false)),
+         |e AS (SELECT least(a,b) AS src, greatest(a,b) AS dst
+         |      FROM raw WHERE a <> b),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |reach AS (
+         |  SELECT src AS id, src AS lbl FROM bidir
+         |  UNION
+         |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src)
+         |SELECT id, CAST(max(lbl) AS BIGINT) AS label
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "edges_supplier" ->
       s"""SELECT src, dst FROM ($supplierEdgesSql) ORDER BY src, dst""",
     "degrees" ->
