@@ -155,19 +155,27 @@ object SparkEntry {
           emb, emb.filter(col("vec_id") < 10), k = 5, dim = dim)
         .orderBy("query_id", "rank")
     }),
-    // multimodal plumbing: binary payloads + batched feature extraction
+    // multimodal plumbing: binary payloads + batched feature extraction.
+    // A container magic number is planted per row (round-robin by id);
+    // the decoder recovers sniffed_kind from the BYTES while the oracle
+    // predicts it arithmetically — two independent derivations.
     "media_features" -> ((s, dir) => {
       import s.implicits._
+      val magic = element_at(array(
+          unhex(lit("89504E470D0A1A0A")), // png
+          unhex(lit("FFD8FF")),           // jpeg
+          unhex(lit("52494646"))),        // "RIFF"
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"),
           coalesce(col("source"), lit("text")).as("kind"),
-          encode(col("text"), "utf-8").as("payload"),
+          concat(magic, encode(col("text"), "utf-8")).as("payload"),
           struct(lit(0).as("width"), lit(0).as("height"),
             lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
         .as[graft.sources.Multimodal.MediaRow]
       graft.sources.Multimodal.extractFeatures(media)
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
-          round(col("byte_mean"), 6).as("byte_mean"))
+          col("sniffed_kind"))
         .orderBy("media_id")
     })
   )
@@ -376,6 +384,14 @@ object SparkEntry {
         |  WHEN s_fr >= s_es THEN 'fr'
         |  ELSE 'es' END AS lang_guess
         |FROM scores ORDER BY doc_id""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS media_id, coalesce(source, 'text') AS kind,
+        |  CAST(octet_length(encode(text)) +
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 4 END
+        |       AS BIGINT) AS n_bytes,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'riff' END AS sniffed_kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT sha256(text) AS content_sha,
         |  CAST(min(doc_id) AS BIGINT) AS rep_id,

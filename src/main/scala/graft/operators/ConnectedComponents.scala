@@ -271,8 +271,10 @@ object ConnectedComponents {
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
       fCache.releaseLineage(); prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
-      metrics += SuperstepMetrics(cfg.runId, "cc-hook", round,
+      val stepMetric = SuperstepMetrics(cfg.runId, "cc-hook", round,
         edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)
+      metrics += stepMetric
+      ck.foreach(_.appendMetrics(Seq(stepMetric))) // durable per-superstep append (§4.5)
       if (cfg.verbose)
         System.err.println(s"[cc-hook] round=$round edgesIn=$edgeCount " +
           s"edgesOut=$newCount jumps=$jumps ms=${(System.nanoTime() - t0) / 1000000}")

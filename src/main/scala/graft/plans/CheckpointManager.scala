@@ -53,6 +53,20 @@ final class CheckpointManager(spark: SparkSession, dir: String) {
   def load(step: Int, table: String): DataFrame =
     spark.read.parquet(s"$dir/step=$step/$table")
 
+  /** Append per-superstep metrics rows (SURVEY §4.5: a durable
+    * metrics/lineage table next to the snapshots — the in-memory
+    * `Result.metrics` Seq dies with the driver; this survives it and
+    * accumulates across resumes). */
+  def appendMetrics(rows: Seq[graft.graph.SuperstepMetrics]): Unit = {
+    import spark.implicits._
+    if (rows.nonEmpty)
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("append").parquet(s"$dir/metrics")
+  }
+
+  /** The accumulated metrics table (all runs/resumes under this dir). */
+  def loadMetrics(): DataFrame = spark.read.parquet(s"$dir/metrics")
+
   def meta(step: Int): Map[String, String] = {
     val p = new Path(s"$dir/manifest-$step.json")
     val in = fs.open(p)

@@ -82,6 +82,41 @@ class PageRankSpec extends SparkSpec {
     math.abs(got.values.sum - 1.0) should be < 1e-9
   }
 
+  test("one Spark job per iteration (delta + dangling mass folded via observe)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val edges = (0L until 19L).map(i => Edge(i, i + 1))
+    val ds = spark.createDataset(edges)
+    // AQE materializes every shuffle stage as its own job, which would
+    // drown the signal; with it off, jobs ≈ driver actions — the thing
+    // this regression test guards (1 action per iteration, not 3).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = PageRank.run(ds, None, PageRank.Config(maxIter = 10, tol = 0.0))
+      res.iterations shouldBe 10
+      // listener events are async; wait until the count is stable
+      var prev = -1
+      var spins = 0
+      while (jobs.get() != prev && spins < 50) {
+        prev = jobs.get(); Thread.sleep(100); spins += 1
+      }
+      // setup = verts barrier + count + wEdges barrier + initial ranks
+      // barrier (4 jobs, possibly a few more under AQE); each iteration
+      // must be exactly ONE job. The pre-fix loop ran 3 actions/iter
+      // (dangling agg + delta agg + checkpoint), i.e. ≥30 jobs here.
+      jobs.get() should be <= (10 + 8)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("ranks sum to 1 on a multi-component graph") {
     val edges = Seq[(Long, Long)]((0, 1), (2, 3), (3, 4), (2, 4))
     val got = sparkPR(edges, Nil)

@@ -152,6 +152,37 @@ class PipelineSpec extends SparkSpec {
     pairs should contain((0L, 1L))
   }
 
+  test("byte features: entropy bounds, constant/uniform extremes, magic sniffing") {
+    import graft.sources.Multimodal
+    // constant payload → entropy 0; all 256 values once → exactly 8 bits
+    val (m0, e0, f0) = Multimodal.byteFeatures(Array.fill[Byte](100)(7))
+    m0 shouldBe 7.0
+    e0 shouldBe 0.0
+    f0(0) shouldBe 1.0f // all bytes in bucket 0 (7 >> 5 == 0)
+    val (_, e1, f1) = Multimodal.byteFeatures((0 until 256).map(_.toByte).toArray)
+    e1 shouldBe 8.0 +- 1e-9
+    all(f1) shouldBe (0.125f +- 1e-6f) // uniform across 8 buckets
+    // histogram is a distribution
+    f1.map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+    val (me, ee, fe) = Multimodal.byteFeatures(Array.emptyByteArray)
+    (me, ee) shouldBe ((0.0, 0.0))
+    fe.toSeq shouldBe Seq.fill(8)(0.0f)
+    // magic numbers
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    Multimodal.sniffKind(hex("89504E470D0A1A0A") ++ "x".getBytes) shouldBe "png"
+    Multimodal.sniffKind(hex("FFD8FF") ++ "x".getBytes) shouldBe "jpeg"
+    Multimodal.sniffKind("RIFFxxxx".getBytes) shouldBe "riff"
+    Multimodal.sniffKind("GIF89a".getBytes) shouldBe "gif"
+    Multimodal.sniffKind("%PDF-1.7".getBytes) shouldBe "pdf"
+    Multimodal.sniffKind("ID3xxxx".getBytes) shouldBe "mp3"
+    Multimodal.sniffKind(hex("00000018") ++ "ftypmp42".getBytes) shouldBe "mp4"
+    Multimodal.sniffKind("plain text here".getBytes) shouldBe "unknown"
+    // entropy is monotone-ish in diversity: two-value beats one-value
+    val (_, e2, _) = Multimodal.byteFeatures(Array.tabulate[Byte](100)(i => (i % 2).toByte))
+    e2 shouldBe 1.0 +- 1e-9
+  }
+
   test("multimodal: schema plumbing, batch extract, frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 30)
     media.count() shouldBe 30L

@@ -34,6 +34,16 @@ class ResumeSpec extends SparkSpec {
     val resumed = ConnectedComponents.resume(spark, dir, Config(runId = "t1-resume"))
     val got = resumed.labels.collect().map(l => l.id -> l.label).toMap
     got shouldBe expect
+
+    // §4.5: the durable metrics table survives the "kill" and accumulates
+    // across the resume — both runs' supersteps are readable.
+    val persisted = ck.loadMetrics().collect()
+      .map(r => (r.getAs[String]("runId"), r.getAs[Int]("superstep")))
+    persisted.count(_._1 == "t1") shouldBe full.metrics.length
+    val resumedSteps = persisted.filter(_._1 == "t1-resume").map(_._2).sorted
+    // resume() continues at step+1
+    resumedSteps shouldBe
+      ((firstStep + 1) until (firstStep + 1 + resumed.metrics.length)).toArray
   }
 
   test("manifest metadata round-trips") {
