@@ -30,15 +30,34 @@ object GraphMetrics {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("partition_id"))
 
-  /** A7 — inclusive prefix sum over an ordered column (reference: OpenMP
-    * scan compaction, `cse613_utils.cpp:29-49`; in Spark a Filter compacts
-    * for free — this is the literal windowed form for when a running
-    * total is genuinely wanted). Scale note: a global orderBy is a range
-    * shuffle; the window runs per range partition. */
+  /** A7 — inclusive prefix sum of a LONG column over a total order
+    * (reference: OpenMP scan compaction, `cse613_utils.cpp:29-49`; in
+    * Spark a Filter compacts for free — this is for when a running total
+    * is genuinely wanted). The classic two-pass distributed scan, not a
+    * global unpartitioned window (which funnels every row through ONE
+    * reducer): (1) range-partition by the order column and take tiny
+    * per-partition totals; (2) scan the p totals on the driver into
+    * exclusive offsets; (3) per-partition running sums + the broadcast
+    * offset of their partition. Both passes are p-way parallel. */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("prefix_sum", sum(col(valueCol)).over(w))
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = org.apache.spark.sql.GraftLineage.barrier(
+      df.repartitionByRange(p, col(orderCol)))
+    val partSums = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(valueCol)).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
+    // per-range-partition scan: the partitionBy keeps p-way parallelism
+    // (partition ids are stable — `ranged` is a materialized barrier)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.withColumn("_pid", spark_partition_id())
+      .withColumn("prefix_sum",
+        sum(col(valueCol)).over(w) +
+          element_at(lit(offsets.toArray), col("_pid") + 1))
+      .drop("_pid")
   }
 
   /** §2.5 — dense relabel: map arbitrary component labels to dense ids

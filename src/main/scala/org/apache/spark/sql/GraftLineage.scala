@@ -56,6 +56,13 @@ object GraftLineage {
     }
   }
 
+  /** RDD ids of the checkpointed RDDs inside this frame's plan — lets a
+    * caller sweep the block store while protecting long-lived inputs. */
+  def plannedRddIds(ds: Dataset[_]): Set[Int] = {
+    val dsC = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    dsC.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
+  }
+
   /** [[barrier]] that also evaluates aggregate metrics over the rows in
     * the SAME materialization job (Dataset.observe) — saves the separate
     * count/convergence action per iteration that otherwise dominates

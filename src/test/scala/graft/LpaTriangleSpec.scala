@@ -128,6 +128,14 @@ class LpaTriangleSpec extends SparkSpec {
       spark.createDataset(Seq((1L, 10L), (2L, 5L), (3L, 7L))).toDF("i", "v"), "i", "v")
       .orderBy("i").collect().map(_.getAs[Long]("prefix_sum"))
     ps shouldBe Array(10L, 15L, 22L)
+    // two-pass distributed scan at size: matches the sequential scan
+    // (values land across many range partitions, offsets must compose)
+    val big = spark.range(0, 10000).toDF("i")
+      .withColumn("v", (col("i") * 7 % 13) + 1)
+    val got = graft.operators.GraphMetrics.prefixSum(big, "i", "v")
+      .orderBy("i").collect().map(_.getAs[Long]("prefix_sum"))
+    val vals = big.orderBy("i").collect().map(_.getAs[Long]("v"))
+    got shouldBe vals.scanLeft(0L)(_ + _).drop(1)
     val labels = spark.createDataset(Seq((1L, 9L), (2L, 9L), (3L, 4L)))
       .toDF("id", "label")
     val dense = graft.operators.GraphMetrics.denseRelabel(labels)
