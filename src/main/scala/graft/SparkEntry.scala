@@ -67,6 +67,17 @@ object SparkEntry {
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
+    // A7: two-pass distributed prefix scan over the degree table
+    "degrees_prefix_sum" -> ((s, dir) =>
+      GraphMetrics.prefixSum(
+        GraphMetrics.degrees(EdgeDerivation.supplierCooccurrence(s, dir)),
+        "id", "degree").orderBy("id")),
+    // §2.5 dense relabel: component labels → dense ids [0, #components)
+    "cc_dense_labels" -> ((s, dir) => {
+      val labels = ConnectedComponents.run(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).labels
+      GraphMetrics.denseRelabel(labels.toDF()).orderBy("id")
+    }),
     // PageRank (power iteration, damping .85, dangling redistribution),
     // PINNED to prIters iterations (tol=0) so the fixed-point loop is
     // DuckDB-expressible as an unrolled CTE; ranks rounded to 7 dp on
@@ -115,6 +126,15 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
+    // composite quality score + BPE-ish token budget estimate
+    "text_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      d.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
+          graft.functions.TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
     // 64-bit rolling fingerprint (xxhash64-based → rows-only check;
     // determinism + collision behavior tested in PipelineSpec)
     "text_fingerprint" -> ((s, dir) =>
@@ -343,6 +363,55 @@ object SparkEntry {
          |SELECT id, CAST(count(*) AS BIGINT) AS triangles
          |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
          |GROUP BY id ORDER BY id""".stripMargin,
+    "degrees_prefix_sum" ->
+      s"""WITH e AS ($supplierEdgesSql),
+         |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+         |      GROUP BY id)
+         |SELECT id, degree,
+         |  CAST(sum(degree) OVER (ORDER BY id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS prefix_sum
+         |FROM d ORDER BY id""".stripMargin,
+    "cc_dense_labels" ->
+      s"""WITH RECURSIVE e AS ($nationEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |reach AS (
+         |  SELECT src AS id, src AS lbl FROM bidir
+         |  UNION
+         |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
+         |),
+         |labels AS (SELECT id, max(lbl) AS label FROM reach GROUP BY id)
+         |SELECT id, CAST(dense_rank() OVER (ORDER BY label) - 1 AS BIGINT)
+         |  AS dense_label
+         |FROM labels ORDER BY id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+        |    len(tk) AS ntok,
+        |    CASE WHEN len(tk) > 0
+        |         THEN CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+        |         ELSE 0.0 END AS mtl,
+        |    coalesce(CAST(list_sum(list_transform(tk,
+        |      w -> greatest(CAST(ceil(length(w)/4.0) AS BIGINT), 1))) AS BIGINT), 0)
+        |      AS bpeish_tokens
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(least(len/200.0, 1.0) * 0.4 +
+        |        (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |        (CASE WHEN np/n < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |        (CASE WHEN nd/n < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+        |  bpeish_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
     "degree_histogram" ->
       s"""WITH e AS ($nationEdgesSql),
          |d AS (
