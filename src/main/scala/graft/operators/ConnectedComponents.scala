@@ -20,9 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   *    as Dataset relational ops: hook-to-max = groupBy(src).agg(max(dst))
   *    (partial+final hash agg ≙ local hook + MPI_MAX reduce,
   *    `my_MPI_cc.cpp:193,196`), pointer jumping = iterated self-join with
-  *    path doubling (`mpi_parallel_cc_utils.cpp:37-55`), edge contraction =
-  *    relabel join + cross-component filter + normalize
-  *    (`mpi_parallel_cc_utils.cpp:57-76`).
+  *    path doubling (`mpi_parallel_cc_utils.cpp:37-55`) over a
+  *    frontier-split map (only unresolved rows are probed AND
+  *    re-materialized per jump; resolved segments merge once at the
+  *    fixpoint), edge contraction = relabel join + cross-component filter
+  *    + normalize (`mpi_parallel_cc_utils.cpp:57-76`).
   *  - [[CCStrategy.AlternatingStar]] — small-star/large-star contraction
   *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
   *    SoCC 2014), the standard Dataset-join CC named by the north star.
@@ -200,43 +202,71 @@ object ConnectedComponents {
       // Rows are only the non-identity part of the label function f:
       // vertices absent from `f` map to themselves (left-join + coalesce
       // at every use), which keeps f proportional to #srcs, not #vertices.
-      var fCache = hookInput.groupBy($"src".as("id")).agg(max($"dst").as("label"))
-        .withColumn("done", lit(false))
+      val hooked = hookInput.groupBy($"src".as("id")).agg(max($"dst").as("label"))
         .cutLineage()
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round hook done at ${ms}ms")
 
       // G3 pointer jumping with path doubling: f := f ∘ f until fixpoint.
-      // Three hard-won rules in this loop:
+      // Hard-won rules in this loop:
       //  - cutLineage (not persist) per jump: the self-join doubles the
       //    LOGICAL plan (and the size-estimation BigInts) every jump —
       //    persist caches data but keeps lineage, and Catalyst's stats /
       //    plan-string work alone OOMs by jump ~19.
       //  - no broadcast: each broadcast pins a copy of f until round end.
-      //  - frontier restriction: a row is `done` once its label is a root
+      //  - frontier split: a row is `done` once its label is a root
       //    (roots have no entry in f — they never hook) or points at a
-      //    done row; done rows skip the join, so per-jump probe volume
-      //    tracks the shrinking frontier instead of all of f.
+      //    done row. Each jump probes AND materializes only the shrinking
+      //    undone frontier; resolved rows stay behind in their jump's
+      //    barrier (per-jump checkpoint volume tracks the frontier, not
+      //    |f| — measured 13M vs 30M rows across a 16M-edge round 0).
+      //    The lookup side must remain ALL of f (frontier labels can
+      //    point at any row): a union of the done segments + frontier.
+      var frontier = hooked
+      var doneParts = List.empty[DataFrame] // resolved (id, label) views
+      val jumpBarriers = scala.collection.mutable.ArrayBuffer[DataFrame](hooked)
       var jumps = 0
       var undone = 1L
       while (undone > 0) {
-        val und = fCache.filter(!$"done")
-        val don = fCache.filter($"done")
-        val joined = und.as("a")
-          .join(fCache.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
+        val lookup = (doneParts.map(_.withColumn("done", lit(true))) :+
+            frontier.select($"id", $"label", lit(false).as("done")))
+          .reduce(_ union _)
+        val joined = frontier.as("a")
+          .join(lookup.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
           .select($"a.id".as("id"),
             coalesce($"b.label", $"a.label").as("label"),
             ($"b.id".isNull || $"b.done").as("done"))
-        val (next, m) = barrierObserved(
-          don.select($"id", $"label", $"done").union(joined),
+        val (next, m) = barrierObserved(joined,
           sum(when(!$"done", 1L).otherwise(0L)).as("undone"))
         undone = Option(m("undone")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        fCache.releaseLineage()
-        fCache = next
+        // next holds every frontier row (resolved + still-undone); the
+        // barriers of earlier jumps still back doneParts — release at
+        // round end, not here.
+        jumpBarriers += next
+        doneParts ::= next.filter($"done").select($"id", $"label")
+        frontier = next.filter(!$"done").select($"id", $"label")
         jumps += 1
         if (cfg.verbose)
           System.err.println(s"[cc-hook] round=$round jump=$jumps undone=$undone at ${ms}ms")
       }
-      val f = fCache.select($"id", $"label")
+      // fixpoint: frontier is empty; f = disjoint union of the resolved
+      // segments, materialized ONCE into a compact barrier — contraction
+      // and mapping each scan f twice, and joining against the lazy
+      // union-of-filters was measured 3× slower than against one barrier
+      // (one extra |f| checkpoint/round still beats the old one-per-jump).
+      val f = doneParts match {
+        case Nil      => hooked.select($"id", $"label")
+        case p :: Nil => p
+        case ps       =>
+          val merged = barrier(ps.reduce(_ union _))
+          // every per-jump barrier is superseded by the merged map —
+          // free their blocks NOW, before the contraction joins need the
+          // memory (keeping them pinned through the sort-merge was a
+          // measured 2× contraction slowdown on the 8g heap)
+          jumpBarriers.foreach(_.releaseLineage())
+          jumpBarriers.clear()
+          jumpBarriers += merged
+          merged
+      }
 
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round jumps done at ${ms}ms")
 
@@ -269,7 +299,8 @@ object ConnectedComponents {
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
       mapping = newMapping.cutLineage()
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
-      fCache.releaseLineage(); prevEdges.releaseLineage(); prevMapping.releaseLineage()
+      jumpBarriers.foreach(_.releaseLineage())
+      prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
       val stepMetric = SuperstepMetrics(cfg.runId, "cc-hook", round,
         edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)
