@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming ingestion for the link-graph engine: edges arrive
   * as an unbounded stream (file drops / message bus), the engine maintains
@@ -48,6 +49,41 @@ object EdgeStreams {
         col("a.user_id") < col("b.user_id"))
       .select(col("a.w.start").as("window_start"),
         col("a.user_id").as("src"), col("b.user_id").as("dst"))
+  }
+
+  final case class DocKey(content_sha: String)
+  final case class DocIn(content_sha: String, doc_id: Long)
+  final case class DedupEmit(content_sha: String, doc_id: Long, dup_of: Option[Long])
+
+  /** Streaming exact dedup with custom per-key state
+    * (`flatMapGroupsWithState`): the first document carrying a given
+    * content hash is emitted as the survivor (`dup_of = None`); every
+    * later arrival is emitted tagged with the survivor's id. State per
+    * key = the survivor id (a Long) — the streaming analogue of
+    * `Dedup.exactDedup`, for ingest pipelines that must drop duplicates
+    * before they ever land. State never expires here (NoTimeout):
+    * exact dedup is by definition unbounded-lookback; bound it at the
+    * source (e.g. partition the hash space or front it with a TTL'd
+    * approximate filter) when the key space outgrows the state store. */
+  def streamingExactDedup(docs: Dataset[DocIn]): Dataset[DedupEmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(d => d.content_sha)
+      .flatMapGroupsWithState[Long, DedupEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sha: String, rows: Iterator[DocIn], state: GroupState[Long]) =>
+          val batch = rows.toSeq.sortBy(_.doc_id) // deterministic within batch
+          if (batch.isEmpty) Iterator.empty
+          else if (state.exists) {
+            val survivor = state.get
+            batch.iterator.map(d => DedupEmit(sha, d.doc_id, Some(survivor)))
+          } else {
+            val survivor = batch.head
+            state.update(survivor.doc_id)
+            Iterator.single(DedupEmit(sha, survivor.doc_id, None)) ++
+              batch.tail.iterator.map(d => DedupEmit(sha, d.doc_id, Some(survivor.doc_id)))
+          }
+      }
   }
 
   /** Count of distinct edges per event-time window (append-mode windowed

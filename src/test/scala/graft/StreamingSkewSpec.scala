@@ -52,6 +52,31 @@ class StreamingSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: stateful exact dedup emits one survivor per content hash") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val docs = in.toDS().map { case (sha, id) => EdgeStreams.DocIn(sha, id) }
+    val out = EdgeStreams.streamingExactDedup(docs)
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("A", 3L), ("A", 1L), ("B", 7L))
+      q.processAllAvailable()
+      // survivor of A = min id within the batch (1); 3 tagged dup_of 1
+      val t1 = spark.table("dedup_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      t1.toSet shouldBe Set(("A", 1L, None), ("A", 3L, Some(1L)), ("B", 7L, None))
+      // later batch: state remembers the survivor across batches
+      in.addData(("A", 9L), ("C", 2L))
+      q.processAllAvailable()
+      val t2 = spark.table("dedup_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      t2.toSet shouldBe Set(
+        ("A", 1L, None), ("A", 3L, Some(1L)), ("B", 7L, None),
+        ("A", 9L, Some(1L)), ("C", 2L, None))
+    } finally q.stop()
+  }
+
   test("skew: two-phase join equals plain join") {
     val big = spark.range(0, 10000).select(
       when($"id" % 100 === 0, lit(7L)).otherwise($"id" % 500).as("k1"),
