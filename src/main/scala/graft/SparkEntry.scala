@@ -142,6 +142,28 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // exact 3-shingle Jaccard top-3 for the 5 lowest doc_ids (the
+    // verification kernel of the near-dup pipeline, on hard signal;
+    // integer-ratio arithmetic → bit-exact vs the SQL oracle)
+    "text_jaccard_topk" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Dedup.shingles(col("text"), 3)).as("sh"))
+      val q = broadcast(d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("sh").as("q_sh")))
+      val scored = d.select(col("doc_id").as("nbr_id"), col("sh").as("n_sh"))
+        .join(q, col("query_id") =!= col("nbr_id"))
+        .select(col("query_id"), col("nbr_id"),
+          round(graft.functions.Dedup.jaccard(col("q_sh"), col("n_sh")), 6).as("jaccard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("jaccard").desc, col("nbr_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("jaccard"))
+        .orderBy("query_id", "rank")
+    }),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
       graft.functions.Dedup.exactGroups(
@@ -453,6 +475,30 @@ object SparkEntry {
         |  WHEN s_fr >= s_es THEN 'fr'
         |  ELSE 'es' END AS lang_guess
         |FROM scores ORDER BY doc_id""".stripMargin,
+    "text_jaccard_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |        FROM documents)),
+        |scored AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS nbr_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(q.sh, c.sh))) = 0
+        |          THEN CAST(1.0 AS DOUBLE)
+        |          ELSE CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE) /
+        |               len(list_distinct(list_concat(q.sh, c.sh))) END, 6) AS jaccard
+        |  FROM t q JOIN t c ON q.doc_id < 5 AND q.doc_id <> c.doc_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, jaccard FROM (
+        |  SELECT query_id, nbr_id, jaccard,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY jaccard DESC, nbr_id ASC) AS rn
+        |  FROM scored) x
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS media_id, coalesce(source, 'text') AS kind,
         |  CAST(octet_length(encode(text)) +
