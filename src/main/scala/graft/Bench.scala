@@ -91,10 +91,11 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUERIES=0 isolates the headline CC measurement.
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
-      "cc_supplier", "cc_nation", "pagerank", "lpa", "triangles", "degrees",
-      "edges_supplier", "dedup_exact_groups", "dedup_simhash",
-      "dedup_minhash_bands", "ann_topk", "ann_topk_lsh", "text_stats",
-      "text_lang", "content_sha")
+      "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
+      "triangles", "degrees", "degrees_prefix_sum", "edges_supplier",
+      "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
+      "ann_topk", "ann_topk_lsh", "text_stats", "text_lang", "text_quality",
+      "text_jaccard_topk", "content_sha", "media_features")
     val queries = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = queryNames.flatMap { name =>
