@@ -57,6 +57,7 @@ object Bench {
     val strategy = strategyName match {
       case "star"    => CCStrategy.AlternatingStar
       case "sampled" => CCStrategy.SampledContraction
+      case "random"  => CCStrategy.RandomizedHook
       case _         => CCStrategy.HookAndContract
     }
 
