@@ -100,35 +100,37 @@ object Bench {
     val queries = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = queryNames.flatMap { name =>
-      queries.get(name).map { fn =>
+      queries.get(name).flatMap { fn =>
         val q0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-        }
-        sweepBlocks()
-        name -> (System.nanoTime() - q0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+            false
+          }
+        val sec = (System.nanoTime() - q0) / 1e9 // before the sweep: harness
+        sweepBlocks()                            // cleanup isn't query time
+        if (ok) Some(name -> sec) else None      // failures live in "errors" only
       }
     }
     // A larger derived-graph CC at this SF (part co-occurrence).
     val allTimes = if (!runQueries) times else {
       val pc0 = System.nanoTime()
-      try {
-        val partEdges = EdgeDerivation.partCooccurrence(spark, sfDir).cutLineage()
-        val partRes = ConnectedComponents.run(partEdges, None, Config(strategy = strategy))
-        partRes.labels.write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        errors("cc_parts") = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-      }
+      val ok =
+        try {
+          val partEdges = EdgeDerivation.partCooccurrence(spark, sfDir).cutLineage()
+          val partRes = ConnectedComponents.run(partEdges, None, Config(strategy = strategy))
+          partRes.labels.write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          errors("cc_parts") = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+          false
+        }
+      val sec = (System.nanoTime() - pc0) / 1e9
       sweepBlocks()
-      times :+ ("cc_parts" -> (System.nanoTime() - pc0) / 1e9)
+      if (ok) times :+ ("cc_parts" -> sec) else times
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = JsonEscape.quote(s)
     val qs = allTimes.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }

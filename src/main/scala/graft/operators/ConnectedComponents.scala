@@ -261,8 +261,9 @@ object ConnectedComponents {
           // every per-jump barrier is superseded by the merged map —
           // free their blocks NOW, before the contraction joins need the
           // memory (keeping them pinned through the sort-merge was a
-          // measured 2× contraction slowdown on the 8g heap)
-          jumpBarriers.foreach(_.releaseLineage())
+          // measured 2× contraction slowdown on the 8g heap); blocking:
+          // the point is that the memory is back before the join starts
+          jumpBarriers.foreach(_.releaseLineage(blocking = true))
           jumpBarriers.clear()
           jumpBarriers += merged
           merged

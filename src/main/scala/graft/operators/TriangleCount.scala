@@ -73,9 +73,13 @@ object TriangleCount {
       .select($"a", $"u", $"v",
         least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
       .join(canon, Seq("src", "dst"), "left_semi")
-    val out = tri.select(explode(array($"a", $"u", $"v")).as("id"))
-      .groupBy($"id")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+    // materialize while the persisted inputs are still cached (oriented
+    // is scanned twice by the wedge self-join, canon twice) — a lazy
+    // return would execute after the unpersists and recompute both
+    val out = org.apache.spark.sql.GraftLineage.barrier(
+      tri.select(explode(array($"a", $"u", $"v")).as("id"))
+        .groupBy($"id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles")))
     oriented.unpersist(); canon.unpersist()
     out
   }

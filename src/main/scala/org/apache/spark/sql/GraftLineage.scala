@@ -47,11 +47,14 @@ object GraftLineage {
 
   /** Free the storage blocks of every barrier'd/checkpointed RDD in this
     * frame's plan. Only call once the frame's data has been consumed —
-    * a localCheckpoint'd RDD cannot be recomputed after unpersist. */
-  def release(ds: Dataset[_]): Unit = {
+    * a localCheckpoint'd RDD cannot be recomputed after unpersist.
+    * Pass `blocking = true` when the very next operation needs the
+    * memory back (bulk releases right before a heavy join); the default
+    * fire-and-forget is right for steady-state loop releases. */
+  def release(ds: Dataset[_], blocking: Boolean = false): Unit = {
     val dsC = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     dsC.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD => l.rdd.unpersist(blocking)
       case _             => ()
     }
   }
@@ -82,6 +85,6 @@ object GraftLineage {
       implicit val enc: Encoder[T] = dsC.encoder
       barrier(dsC.toDF()).as[T]
     }
-    def releaseLineage(): Unit = release(ds)
+    def releaseLineage(blocking: Boolean = false): Unit = release(ds, blocking)
   }
 }
