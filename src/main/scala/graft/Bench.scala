@@ -24,6 +24,7 @@ import java.nio.file.{Files, Paths}
   * (default 32), SPARK_GRAFT_BENCH_SCALE (vertices per shape, default
   * 400k → ~3.2M edges), SPARK_GRAFT_BENCH_STRATEGY (hook|star|sampled),
   * SPARK_GRAFT_BENCH_REPS (headline repetitions, default 2),
+  * SPARK_GRAFT_BENCH_QREPS (interleaved per-query sweeps, default 2),
   * SPARK_GRAFT_BENCH_OUT (JSON output file, default BENCH/last_bench.json).
   */
 object Bench {
@@ -88,48 +89,49 @@ object Bench {
     val edgesProcessed = res.metrics.map(_.edgesIn).sum // Σ superstep inputs
     val edgesPerSec = edgesProcessed / ccSec
 
-    // Per-query timings on the SF dir (headline operator set);
+    // Per-query timings on the SF dir (headline operator set), best of
+    // SPARK_GRAFT_BENCH_QREPS (default 2) INTERLEAVED sweeps — host
+    // wall-clock noise here is ±3-5× between identical single runs, so a
+    // single-shot per-query number cannot be adjudicated regression-vs-
+    // noise; min-of-interleaved-sweeps is the honest point estimate.
     // SPARK_GRAFT_BENCH_QUERIES=0 isolates the headline CC measurement.
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREPS", "2").toInt
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
       "triangles", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
-      "ann_topk", "ann_topk_lsh", "text_stats", "text_lang", "text_quality",
-      "text_jaccard_topk", "content_sha", "media_features")
+      "dedup_near_pairs", "ann_topk", "ann_topk_lsh", "text_stats",
+      "text_lang", "text_quality", "text_jaccard_topk", "content_sha",
+      "media_features", "cc_parts")
     val queries = SparkEntry.queries
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val times = queryNames.flatMap { name =>
-      queries.get(name).flatMap { fn =>
-        val q0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-            false
-          }
-        val sec = (System.nanoTime() - q0) / 1e9 // before the sweep: harness
-        sweepBlocks()                            // cleanup isn't query time
-        if (ok) Some(name -> sec) else None      // failures live in "errors" only
-      }
+    // cc_parts: a larger derived-graph CC at this SF (part co-occurrence),
+    // benched through the same loop as the SparkEntry queries.
+    def runOne(name: String): Unit = name match {
+      case "cc_parts" =>
+        val partEdges = EdgeDerivation.partCooccurrence(spark, sfDir).cutLineage()
+        val partRes = ConnectedComponents.run(partEdges, None, Config(strategy = strategy))
+        partRes.labels.write.format("noop").mode("overwrite").save()
+      case n =>
+        queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    // A larger derived-graph CC at this SF (part co-occurrence).
-    val allTimes = if (!runQueries) times else {
-      val pc0 = System.nanoTime()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to math.max(1, qreps); name <- queryNames) {
+      val q0 = System.nanoTime()
       val ok =
-        try {
-          val partEdges = EdgeDerivation.partCooccurrence(spark, sfDir).cutLineage()
-          val partRes = ConnectedComponents.run(partEdges, None, Config(strategy = strategy))
-          partRes.labels.write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          errors("cc_parts") = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+        try { runOne(name); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
           false
         }
-      val sec = (System.nanoTime() - pc0) / 1e9
-      sweepBlocks()
-      if (ok) times :+ ("cc_parts" -> sec) else times
+      val sec = (System.nanoTime() - q0) / 1e9 // before the sweep: harness
+      sweepBlocks()                            // cleanup isn't query time
+      if (ok && sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
     }
+    // a query is reported as a time only if at least one rep succeeded;
+    // otherwise it lives in "errors" alone
+    val allTimes = queryNames.flatMap(n => best.get(n).map(n -> _))
     def jstr(s: String): String = JsonEscape.quote(s)
     val qs = allTimes.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")

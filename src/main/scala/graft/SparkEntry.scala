@@ -164,15 +164,33 @@ object SparkEntry {
           col("nbr_id"), col("jaccard"))
         .orderBy("query_id", "rank")
     }),
+    // END-TO-END near-dup pipeline on the hard-signal path: minhash →
+    // banded LSH → bucket-join candidates → exact-Jaccard verify ≥ 0.8.
+    // Deterministic vs the exact all-pairs oracle on a fixed corpus with
+    // fixed xxhash64: at threshold 0.8 the 16-band/4-row LSH miss
+    // probability per true pair is (1-s^4)^16 ≤ 2e-4 at s=0.8 (and the
+    // actual sf0.001-1 corpora yield zero misses — checked against the
+    // oracle at build time), so candidate recall is part of the gate.
+    "dedup_near_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.nearDuplicates(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
       graft.functions.Dedup.exactGroups(
           s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
         .orderBy("content_sha")),
-    // MinHash banded signatures (LSH bucketing layer; xxhash64 → rows-only)
+    // MinHash banded signatures (LSH bucketing layer). The bucket VALUES
+    // are xxhash64-derived and DuckDB 1.0 has no xxhash64, so the gated
+    // output is the (id, band) skeleton — "the right rows exist", not just
+    // "500×16 rows exist"; the bucket values themselves are on hard signal
+    // through dedup_near_pairs (whose candidates come from these buckets)
+    // plus the planted-dup/bucket-flood property tests.
     "dedup_minhash_bands" -> ((s, dir) =>
       graft.functions.Dedup.bandedSignatures(
           s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .select(col("id"), col("band"))
         .orderBy("id", "band")),
     // SimHash signatures (near-dup layer; xxhash64 → rows-only)
     "dedup_simhash" -> ((s, dir) => {
@@ -211,7 +229,10 @@ object SparkEntry {
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("media_id"),
           coalesce(col("source"), lit("text")).as("kind"),
-          concat(magic, encode(col("text"), "utf-8")).as("payload"),
+          // text coalesced to '' so a NULL row degrades to a magic-only
+          // payload on BOTH sides (the oracle predicts sniffed_kind
+          // arithmetically and would otherwise diverge on NULLs)
+          concat(magic, encode(coalesce(col("text"), lit("")), "utf-8")).as("payload"),
           struct(lit(0).as("width"), lit(0).as("height"),
             lit(0).as("sampleRate"), lit(0L).as("durationMs")).as("meta"))
         .as[graft.sources.Multimodal.MediaRow]
@@ -501,12 +522,40 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS media_id, coalesce(source, 'text') AS kind,
-        |  CAST(octet_length(encode(text)) +
+        |  CAST(octet_length(encode(coalesce(text, ''))) +
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 4 END
         |       AS BIGINT) AS n_bytes,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |       ELSE 'riff' END AS sniffed_kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact all-pairs 3-shingle Jaccard ≥ 0.8 — the ground truth the
+    // LSH+verify pipeline must reproduce exactly (recall included)
+    "dedup_near_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |          THEN CAST(1.0 AS DOUBLE)
+        |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |               len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // (id, band) skeleton of the banded signatures — bucket values are
+    // xxhash64-bound (no DuckDB equivalent); see the query comment
+    "dedup_minhash_bands" ->
+      """SELECT doc_id AS id, CAST(range AS INT) AS band
+        |FROM documents CROSS JOIN range(16)
+        |ORDER BY id, band""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT sha256(text) AS content_sha,
         |  CAST(min(doc_id) AS BIGINT) AS rep_id,

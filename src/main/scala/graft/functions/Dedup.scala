@@ -106,25 +106,28 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard ≥
     * threshold. Standard shingle→minhash→band→bucket-join→verify
-    * pipeline. */
+    * pipeline. EAGER: the result is materialized inside the call so the
+    * intermediate shingle cache and signature barriers can be released
+    * immediately (repeated library calls hold no stale blocks); release
+    * the returned frame with `releaseLineage()` when consumed. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                     threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame = {
-    val base = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), k)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands,
-      rowsPerBand, maxBucket)
-    val out = cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    out
-  }
+                     threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame =
+    org.apache.spark.sql.GraftLineage.scopedBlocks(df.sparkSession) {
+      val base = df
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col(idCol).as("id"),
+          array_distinct(shingles(col(textCol), k)).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands,
+        rowsPerBand, maxBucket)
+      org.apache.spark.sql.GraftLineage.barrier(cands
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    }
 
   /** 64-bit SimHash over token hashes: bit b set iff the majority of
     * tokens have bit b set in their xxhash64. Pure expressions, single
@@ -149,9 +152,11 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * via 4×16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ one chunk
-    * equal). */
+    * equal). EAGER like [[nearDuplicates]]: result materialized, interior
+    * signature barrier released before returning. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame =
+   org.apache.spark.sql.GraftLineage.scopedBlocks(df.sparkSession) {
     val sigs = org.apache.spark.sql.GraftLineage.barrier(
       df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
         .select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
@@ -162,12 +167,13 @@ object Dedup {
               .bitwiseAND(lit(0xFFFFL)))))
         .toDF("id", "sig", "chunk", "ckey"),
       Seq(col("chunk"), col("ckey")), col("id"), maxBucket)
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+    org.apache.spark.sql.GraftLineage.barrier(
+      chunked.as("a").join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+   }
 }

@@ -81,8 +81,20 @@ object Similarity {
     * with log2(corpus) to keep per-bucket candidate counts bounded, and
     * compensate with more bands (or multi-probe) for recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, planes: Int = 48, bandBits: Int = 4): DataFrame = {
+              dim: Int, planes: Int = 48, bandBits: Int = 4): DataFrame =
+   org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
     val bands = planes / bandBits
+    // Candidate fraction per query ≈ bands/2^bandBits of the corpus. The
+    // 48/4 default is tuned for recall at ~10^3-10^4 corpora and scans a
+    // large fraction by design; at larger corpora that degenerates toward
+    // brute force — raise bandBits with log2(corpus) (see [[bandBitsFor]])
+    // and compensate with more bands. Loud, not silent:
+    val candFraction = bands.toDouble / (1L << bandBits)
+    if (candFraction > 0.25)
+      System.err.println(f"[ann] lshTopK planes=$planes bandBits=$bandBits scans " +
+        f"~${candFraction * 100}%.0f%% of the corpus per query — fine for small/" +
+        "mid corpora, degenerate at scale; raise bandBits toward " +
+        "bandBitsFor(corpusCount) and add bands for recall")
     def banded(df: DataFrame, idName: String, embName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(embName),
           srpSignature(col("embedding"), planes, dim).as("sig"))
@@ -103,11 +115,24 @@ object Similarity {
       round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"), col("cos"))
-  }
+    // eager: materialize the (tiny) top-k so the banded-corpus cache can
+    // be released before returning (scopedBlocks) — no stale blocks after
+    // repeated library calls
+    org.apache.spark.sql.GraftLineage.barrier(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("cos")))
+   }
+
+  /** bandBits giving ≈`targetPerBucket` expected occupancy per LSH bucket
+    * under a uniform-hash model: 2^bandBits ≈ corpus/targetPerBucket.
+    * Keeps per-bucket candidate counts (and the self-join volume) bounded
+    * as the corpus grows; pair with more bands/multi-probe for recall. */
+  def bandBitsFor(corpusCount: Long, targetPerBucket: Int = 64): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetPerBucket)) /
+        math.log(2.0)).toInt)
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via LSH buckets — the embedding leg of the dedup suite.
@@ -117,7 +142,8 @@ object Similarity {
     * the regime where SRP-LSH is actually strong (see [[lshTopK]]). */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
                            dim: Int, planes: Int = 16, bandBits: Int = 8,
-                           maxBucket: Int = 2000): DataFrame = {
+                           maxBucket: Int = 2000): DataFrame =
+   org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
     val bands = planes / bandBits
     val sig = graft.plans.Skew.capGroups(
       corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
@@ -128,12 +154,13 @@ object Similarity {
               .bitwiseAND(lit((1L << bandBits) - 1)))))
         .toDF("id", "emb", "band", "bucket"),
       Seq(col("band"), col("bucket")), col("id"), maxBucket)
-    sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.emb"), col("b.emb")), 8).as("cos"))
-      .distinct()
-      .filter(col("cos") >= threshold)
-  }
+    org.apache.spark.sql.GraftLineage.barrier(
+      sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(cosine(col("a.emb"), col("b.emb")), 8).as("cos"))
+        .distinct()
+        .filter(col("cos") >= threshold))
+   }
 }

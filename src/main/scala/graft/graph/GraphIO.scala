@@ -19,25 +19,34 @@ object GraphIO {
   final case class TextGraph(vertexCount: Long, edgeCount: Long, edges: Dataset[Edge])
 
   /** Read the reference text format. Lines are position-tagged so the
-    * header (the first non-empty line) is identified without a driver-side
-    * file read; the graph fixtures are single-split text files so
-    * `monotonically_increasing_id` is file-ordered within the split.
+    * header (the first non-empty line of the FILE) is identified without a
+    * driver-side file read — multi-split safe: `monotonically_increasing_id`
+    * is only file-ordered WITHIN one split, so on a file Spark splits into
+    * several partitions the globally-smallest id need not be the first
+    * line. The header is instead anchored with the file-source `_metadata`
+    * column: it is the minimum-id row *among rows of the split starting at
+    * file offset 0* (rows of one split stay in file order inside their
+    * partition, and ids are monotone within a partition, so that minimum
+    * IS the file's first line regardless of how splits are packed).
     */
   def readTextGraph(spark: SparkSession, path: String): TextGraph = {
     import spark.implicits._
-    val withPos = spark.read.textFile(path)
-      .select(monotonically_increasing_id().as("pos"), trim(col("value")).as("line"))
+    val withPos = spark.read.text(path)
+      .select(monotonically_increasing_id().as("pos"),
+        (col("_metadata.file_block_start") === 0).as("first_block"),
+        trim(col("value")).as("line"))
       .filter(length(col("line")) > 0)
-      .select(col("pos"), split(col("line"), "\\s+").as("toks"))
+      .select(col("pos"), col("first_block"), split(col("line"), "\\s+").as("toks"))
       .select(
-        col("pos"),
+        col("pos"), col("first_block"),
         element_at(col("toks"), 1).cast("long").as("a"),
         element_at(col("toks"), 2).cast("long").as("b"))
-    val header = withPos.orderBy(col("pos")).limit(1).collect()(0)
+    val header = withPos.filter(col("first_block"))
+      .orderBy(col("pos")).limit(1).collect()(0)
     val (headerPos, vertexCount, edgeCount) =
-      (header.getLong(0), header.getLong(1), header.getLong(2))
+      (header.getLong(0), header.getLong(2), header.getLong(3))
     val edges = withPos
-      .filter(col("pos") =!= headerPos)
+      .filter(!(col("first_block") && col("pos") === headerPos))
       .select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst")) // P1: self-loop drop on load
       .as[Edge]

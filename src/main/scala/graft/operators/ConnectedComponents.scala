@@ -122,17 +122,30 @@ object ConnectedComponents {
     Result(labels.select($"id", $"label").as[VertexLabel], metrics)
   }
 
-  /** Resume a HookAndContract run from its latest durable checkpoint. */
+  /** Resume a run from its latest durable checkpoint. The manifest's
+    * `algo` field dispatches to the strategy that wrote it — every
+    * strategy checkpoints the same (edges, mapping) state shape, so all
+    * four are resumable. Resumed rounds are numbered from step+1 (a
+    * metrics label; convergence is driven by the edge count, and the
+    * randomized strategy's per-round coin seed only needs rounds to be
+    * distinct, not contiguous). */
   def resume(spark: SparkSession, checkpointDir: String, cfg: Config): Result = {
     import spark.implicits._
     val ck = new CheckpointManager(spark, checkpointDir)
     val step = ck.latestStep().getOrElse(
       throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val algo = ck.meta(step).getOrElse("algo", "cc-hook")
     val edges = ck.load(step, "edges").as[Edge]
     val mapping = ck.load(step, "mapping")
-    val (labels, metrics) =
-      hookAndContract(edges, mapping, cfg.copy(checkpointDir = Some(checkpointDir)),
-        startRound = step + 1)
+    val cfg2 = cfg.copy(checkpointDir = Some(checkpointDir))
+    val (labels, metrics) = algo match {
+      case "cc-hook" => hookAndContract(edges, mapping, cfg2, startRound = step + 1)
+      case "cc-sampled" => sampledContraction(edges, mapping, cfg2, startRound = step + 1)
+      case "cc-random" => randomizedHook(edges, mapping, cfg2, startRound = step + 1)
+      case "cc-star" => alternatingStar(edges, mapping, cfg2, startRound = step + 1)
+      case other =>
+        throw new IllegalStateException(s"unknown checkpoint algo '$other' under $checkpointDir")
+    }
     Result(labels.select($"id", $"label").as[VertexLabel], metrics)
   }
 
@@ -293,12 +306,22 @@ object ConnectedComponents {
 
       val prevEdges = edges
       val prevMapping = mapping
-      val (newEdges, cm) = barrierObserved(
-        contracted, count(lit(1)).as("n"))
+      // The contraction and mapping-composition jobs share no dependency
+      // (both read only the materialized f/fB and barrier'd inputs), so
+      // run them CONCURRENTLY: at low parallelism the serial per-round
+      // driver job chain is the measured scaling residue (2→8 cores was
+      // 0.71 efficiency with them sequential), and overlapping lets one
+      // job's shuffle/driver gaps backfill with the other's tasks.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.{Duration => SDuration}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val contractedF = Future(barrierObserved(contracted, count(lit(1)).as("n")))
+      val mappingF = Future(newMapping.cutLineage())
+      val (newEdges, cm) = Await.result(contractedF, SDuration.Inf)
       edges = newEdges
       val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
-      mapping = newMapping.cutLineage()
+      mapping = Await.result(mappingF, SDuration.Inf)
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
       jumpBarriers.foreach(_.releaseLineage())
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
@@ -329,17 +352,22 @@ object ConnectedComponents {
   // Strategy 2: alternating small-star / large-star (SoCC 2014).
   // ---------------------------------------------------------------------
   private def alternatingStar(
-      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
+      startRound: Int = 0):
       (DataFrame, Seq[SuperstepMetrics]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
 
-    // Edges kept canonical (src < dst) between steps.
+    // Edges kept canonical (src < dst) between steps. The loop state is
+    // (edges, vertsAll); vertsAll never changes, so the checkpoint shape
+    // matches the other strategies' (edges, mapping) and resume() can
+    // reload it as mapping0.
     var edges = edges0.toDF().cutLineage()
     val vertsAll = mapping0.cutLineage()
     var sig = signature(edges)
-    var round = 0
+    var round = startRound
     var converged = edges.isEmpty
 
     while (!converged && round < cfg.maxRounds) {
@@ -375,9 +403,17 @@ object ConnectedComponents {
       edges.releaseLineage(); ls.releaseLineage()
       edges = ss
       sig = newSig
-      metrics += SuperstepMetrics(cfg.runId, "cc-star", round,
+      val stepMetric = SuperstepMetrics(cfg.runId, "cc-star", round,
         cntIn, newSig._1, -1L, 0, (System.nanoTime() - t0) / 1000000)
+      metrics += stepMetric
+      ck.foreach(_.appendMetrics(Seq(stepMetric)))
       round += 1
+      ck.foreach { c =>
+        if (round % cfg.checkpointEvery == 0 || converged)
+          c.save(round, Map("edges" -> edges, "mapping" -> vertsAll),
+            Map("algo" -> "cc-star", "edgeCount" -> sig._1.toString,
+                "runId" -> cfg.runId))
+      }
     }
     require(converged, s"alternating-star did not converge in ${cfg.maxRounds} rounds")
 
@@ -409,15 +445,17 @@ object ConnectedComponents {
   // Strategy 3: PPoPP-2018-style sampled contraction.
   // ---------------------------------------------------------------------
   private def sampledContraction(
-      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
+      startRound: Int = 0):
       (DataFrame, Seq[SuperstepMetrics]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
 
     var edges = edges0.toDF().cutLineage()
     var mapping = mapping0.cutLineage()
-    var round = 0
+    var round = startRound
     var edgeCount = edges.count()
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
@@ -463,10 +501,18 @@ object ConnectedComponents {
       val newCount = edges.count()
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
-      metrics += SuperstepMetrics(cfg.runId, "cc-sampled", round,
+      val stepMetric = SuperstepMetrics(cfg.runId, "cc-sampled", round,
         edgeCount, newCount, nEst, 0, (System.nanoTime() - t0) / 1000000)
+      metrics += stepMetric
+      ck.foreach(_.appendMetrics(Seq(stepMetric)))
       edgeCount = newCount
       round += 1
+      ck.foreach { c =>
+        if (round % cfg.checkpointEvery == 0 || edgeCount == 0)
+          c.save(round, Map("edges" -> edges, "mapping" -> mapping),
+            Map("algo" -> "cc-sampled", "edgeCount" -> edgeCount.toString,
+                "runId" -> cfg.runId))
+      }
     }
     require(edgeCount == 0,
       s"sampled CC did not converge in ${cfg.maxRounds} rounds")
@@ -477,15 +523,17 @@ object ConnectedComponents {
   // Strategy 4: G5 randomized coin-toss hooking (random-mate), seeded.
   // ---------------------------------------------------------------------
   private def randomizedHook(
-      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config):
+      edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
+      startRound: Int = 0):
       (DataFrame, Seq[SuperstepMetrics]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
 
     var edges = edges0.toDF().cutLineage()
     var mapping = mapping0.cutLineage()
-    var round = 0
+    var round = startRound
     var edgeCount = edges.count()
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
@@ -524,10 +572,18 @@ object ConnectedComponents {
       mapping = newMapping.cutLineage()
       val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       f.releaseLineage(); prevEdges.releaseLineage(); prevMapping.releaseLineage()
-      metrics += SuperstepMetrics(cfg.runId, "cc-random", round,
+      val stepMetric = SuperstepMetrics(cfg.runId, "cc-random", round,
         edgeCount, newCount, -1L, 0, (System.nanoTime() - t0) / 1000000)
+      metrics += stepMetric
+      ck.foreach(_.appendMetrics(Seq(stepMetric)))
       edgeCount = newCount
       round += 1
+      ck.foreach { c =>
+        if (round % cfg.checkpointEvery == 0 || edgeCount == 0)
+          c.save(round, Map("edges" -> edges, "mapping" -> mapping),
+            Map("algo" -> "cc-random", "edgeCount" -> edgeCount.toString,
+                "runId" -> cfg.runId))
+      }
     }
     require(edgeCount == 0,
       s"randomized CC did not converge in ${cfg.maxRounds} rounds " +

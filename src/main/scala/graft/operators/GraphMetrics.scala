@@ -47,29 +47,47 @@ object GraphMetrics {
       df.repartitionByRange(p, col(orderCol)))
     val partSums = ranged.groupBy(spark_partition_id().as("pid"))
       .agg(sum(col(valueCol)).as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
     // per-range-partition scan: the partitionBy keeps p-way parallelism
-    // (partition ids are stable — `ranged` is a materialized barrier)
+    // (partition ids are stable — `ranged` is a materialized barrier).
+    // Contract: `orderCol` values are unique (vertex ids here) — ties
+    // under a ROWS frame would make per-row prefixes order-dependent.
+    // NULL `valueCol` rows contribute 0 to the running sum (coalesce),
+    // matching the all-null partition guard in pass 1 above.
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.withColumn("_pid", spark_partition_id())
-      .withColumn("prefix_sum",
-        sum(col(valueCol)).over(w) +
-          element_at(lit(offsets.toArray), col("_pid") + 1))
-      .drop("_pid")
+    val out = org.apache.spark.sql.GraftLineage.barrier(
+      ranged.withColumn("_pid", spark_partition_id())
+        .withColumn("prefix_sum",
+          coalesce(sum(col(valueCol)).over(w), lit(0L)) +
+            element_at(lit(offsets.toArray), col("_pid") + 1))
+        .drop("_pid"))
+    // pass-2 consumed the range barrier — free it now (library hygiene:
+    // the caller only ever has to release `out` itself)
+    org.apache.spark.sql.GraftLineage.release(ranged)
+    out
   }
 
   /** §2.5 — dense relabel: map arbitrary component labels to dense ids
-    * [0, #components) in first-seen (ascending label) order — the
-    * PPoPP renumbering (`SparseSampling.hpp:297-309`). The window runs
-    * over DISTINCT labels only (#components rows, not #vertices); dense
-    * ids are a presentation concern, canonical max-labels remain the
+    * [0, #components) in ascending-label order — the PPoPP renumbering
+    * (`SparseSampling.hpp:297-309`). Fully distributed via the [[prefixSum]]
+    * two-pass machinery: on a fragmented graph (mostly singletons — common
+    * in co-occurrence data) #components ≈ #vertices, so a global
+    * `Window.orderBy(label)` (one single-partition Exchange) is the exact
+    * single-reducer sort the prefix scan exists to avoid. dense(label) =
+    * prefixCount(label) - 1 over the range-partitioned distinct labels;
+    * dense ids are a presentation concern, canonical max-labels remain the
     * engine's native output. */
   def denseRelabel(labels: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("label"))
-    val dense = labels.select(col("label")).distinct()
-      .withColumn("dense_label", row_number().over(w).cast("long") - 1)
-    labels.join(dense, "label").select(col("id"), col("dense_label"))
+    val spark = labels.sparkSession
+    org.apache.spark.sql.GraftLineage.scopedBlocks(spark) {
+      val dense = prefixSum(
+        labels.select(col("label")).distinct().withColumn("_one", lit(1L)),
+        "label", "_one")
+        .select(col("label"), (col("prefix_sum") - 1).as("dense_label"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        labels.join(dense, "label").select(col("id"), col("dense_label")))
+    }
   }
 }

@@ -76,19 +76,31 @@ object Skew {
     * subquadratic when a degenerate bucket appears (thousands of empty /
     * near-identical documents — guaranteed in web corpora). Truncated
     * groups lose candidate pairs beyond the cap — run EXACT dedup first
-    * so identical-content floods never reach the near-dup stage. With
-    * SPARK_GRAFT_VERBOSE=1 the number of dropped rows is counted and
-    * logged (extra action, diagnostics only). */
+    * so identical-content floods never reach the near-dup stage.
+    *
+    * The dropped-row count is observed inside the SAME job that evaluates
+    * the frame (`Dataset.observe` on the ranked rows before the filter —
+    * no extra action, no upstream recompute) and logged unconditionally
+    * once the first action over the result completes, so recall loss from
+    * capping always has a runtime signal in production runs. */
   def capGroups(df: DataFrame, keys: Seq[Column], order: Column,
                 maxSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(order)
+    val obs = org.apache.spark.sql.Observation()
     val ranked = df.withColumn("_rn", row_number().over(w))
-    if (sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")) {
-      val dropped = ranked.filter(col("_rn") > maxSize).count()
+      .observe(obs, sum(when(col("_rn") > maxSize, 1L).otherwise(0L)).as("dropped"))
+    // obs.get blocks until an action materializes the frame; wait on a
+    // daemon thread so the (lazy) caller is never blocked and an
+    // abandoned, never-executed plan leaks only a parked thread.
+    val waiter = new Thread(() => {
+      val dropped = Option(obs.get("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (dropped > 0)
-        System.err.println(s"[skew] capGroups dropped $dropped rows (cap=$maxSize)")
-    }
+        System.err.println(s"[skew] capGroups dropped $dropped rows past cap=$maxSize " +
+          "(near-dup candidates lost; run exact dedup upstream if this is large)")
+    }, "capGroups-drop-count")
+    waiter.setDaemon(true)
+    waiter.start()
     ranked.filter(col("_rn") <= maxSize).drop("_rn")
   }
 

@@ -34,21 +34,33 @@ object EdgeStreams {
 
   /** Windowed co-occurrence edge derivation from an event stream
     * (`user_id`, `event_type`, `ts`): users co-occurring on the same
-    * event_type within the same event-time window become edges. The
-    * watermark bounds state and drops late events; the self-join is
-    * stream-stream with both sides watermarked (Spark manages the state
-    * cleanup from the watermark + window bound). */
+    * event_type within the same event-time window become edges, emitted
+    * when the watermark closes the window (append mode).
+    *
+    * Skew guard: a hot (window, event_type) group is capped at
+    * `maxGroupSize` participants (the smallest user_ids, deterministic) —
+    * the same contract as the batch `EdgeDerivation.repoEdges` cap. The
+    * earlier stream-stream self-join formulation had no such cap and went
+    * quadratic in output on a hot event_type within a window (a guaranteed
+    * incident at ingest scale); as a windowed aggregation the per-group
+    * state is one LINEAR set of distinct participants (watermark-expired)
+    * and output per group is ≤ C(maxGroupSize, 2). If even linear
+    * per-group state is too much (a single group with 10^8 distinct
+    * users), the escalation path is `flatMapGroupsWithState` with a
+    * cap-at-insert participant set — same emission contract. */
   def windowedCooccurrence(events: DataFrame, window_ : String = "10 minutes",
-                           watermark: String = "20 minutes"): DataFrame = {
-    val base = events
+                           watermark: String = "20 minutes",
+                           maxGroupSize: Int = 1000): DataFrame = {
+    val grouped = events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("event_type"), window(col("ts"), window_).as("w"))
-    base.as("a").join(base.as("b"),
-        col("a.w") === col("b.w") &&
-        col("a.event_type") === col("b.event_type") &&
-        col("a.user_id") < col("b.user_id"))
-      .select(col("a.w.start").as("window_start"),
-        col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(slice(sort_array(collect_set(col("user_id"))), 1, maxGroupSize)
+        .as("users"))
+    grouped.select(col("w.start").as("window_start"),
+        explode(flatten(transform(col("users"), (u, i) =>
+          transform(slice(col("users"), i + 2, size(col("users"))), v =>
+            struct(u.as("src"), v.as("dst")))))).as("e"))
+      .select(col("window_start"), col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   final case class DocKey(content_sha: String)

@@ -66,6 +66,24 @@ object GraftLineage {
     dsC.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
   }
 
+  /** Library-call block hygiene: run `body` (which must EAGERLY
+    * materialize its return value — end with [[barrier]]/`cutLineage`),
+    * then release every storage block it created EXCEPT those backing the
+    * returned frame. Intermediate persists/barriers inside a pipeline
+    * call (signature caches, candidate buckets) otherwise accumulate
+    * MEMORY_AND_DISK blocks across repeated library calls; the caller
+    * frees the result itself with `releaseLineage()` when done. */
+  def scopedBlocks[T](spark: SparkSession)(body: => Dataset[T]): Dataset[T] = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = body
+    val keep = plannedRddIds(out)
+    sc.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) && !keep.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** [[barrier]] that also evaluates aggregate metrics over the rows in
     * the SAME materialization job (Dataset.observe) — saves the separate
     * count/convergence action per iteration that otherwise dominates

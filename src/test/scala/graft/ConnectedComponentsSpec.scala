@@ -53,6 +53,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("text reader is multi-split safe: tiny maxPartitionBytes, same graph") {
+    // Force Spark to split medium1.txt (23 KB) into many file splits —
+    // the header must still be identified as the first line of the FILE,
+    // not of whichever split a monotonically_increasing_id ordering
+    // happens to rank first (the round-2 single-split assumption).
+    val path = resourcePath("graphs/medium1.txt")
+    val whole = GraphIO.readTextGraph(spark, path)
+    val wholeEdges = whole.edges.collect().map(e => (e.src, e.dst)).sorted
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val split = GraphIO.readTextGraph(spark, path)
+      split.edges.rdd.getNumPartitions should be > 1 // the split actually happened
+      split.vertexCount shouldBe whole.vertexCount
+      split.edgeCount shouldBe whole.edgeCount
+      split.edges.collect().map(e => (e.src, e.dst)).sorted shouldBe wholeEdges
+    } finally conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("sparse_graph.txt (10k vertices): exact labels + component count, all strategies") {
     val g = GraphIO.readTextGraph(spark, resourcePath("graphs/sparse_graph.txt"))
     val edges = g.edges.collect().map(e => (e.src, e.dst)).toSeq

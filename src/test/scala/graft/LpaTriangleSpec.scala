@@ -143,6 +143,55 @@ class LpaTriangleSpec extends SparkSpec {
     dense shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 0L) // labels 4,9 → 0,1
   }
 
+  test("prefix sum: NULL values count as 0 (incl. an all-null range partition)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 12).toDF("i")
+      .withColumn("v", when(col("i") % 3 === 1, lit(null).cast("long"))
+        .otherwise(col("i")))
+    val got = graft.operators.GraphMetrics.prefixSum(df, "i", "v")
+      .orderBy("i").collect().map(_.getAs[Long]("prefix_sum"))
+    val expect = (0L until 12L).map(i => if (i % 3 == 1) 0L else i)
+      .scanLeft(0L)(_ + _).drop(1)
+    got.toSeq shouldBe expect
+    // all-null: pass-1 per-partition sums are NULL everywhere — guard holds
+    val allNull = spark.range(0, 8).toDF("i")
+      .withColumn("v", lit(null).cast("long"))
+    graft.operators.GraphMetrics.prefixSum(allNull, "i", "v")
+      .agg(max("prefix_sum")).collect()(0).getLong(0) shouldBe 0L
+  }
+
+  test("dense relabel is distributed: correct at 20k labels, no single-partition exchange") {
+    import org.apache.spark.sql.functions._
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // fragmented regime: every vertex its own component — #labels =
+      // #vertices, the case where a global orderBy(label) window would
+      // funnel everything through ONE reducer
+      val labels = spark.range(0, 20000).select(col("id"), (col("id") * 3).as("label"))
+      val got = graft.operators.GraphMetrics.denseRelabel(labels)
+        .orderBy("id").collect().map(_.getLong(1))
+      got.toSeq shouldBe (0L until 20000L) // ascending-label rank == id here
+      // denseRelabel runs ≥4 jobs (2 barriers, 1 collect, 1 final barrier);
+      // the listener bus is async — wait for them, then assert every
+      // EXECUTED plan is free of single-partition exchanges
+      val deadline = System.currentTimeMillis() + 30000
+      while (plans.size() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      plans.size() should be >= 4
+      plans.forEach(p => withClue(p) {
+        p.contains("Exchange SinglePartition") shouldBe false
+      })
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("degrees: star hub has n-1, leaves 1") {
     val got = GraphMetrics.degrees(Generators.star(spark, 8))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

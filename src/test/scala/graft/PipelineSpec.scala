@@ -194,6 +194,43 @@ class PipelineSpec extends SparkSpec {
     ((exact & lsh).size.toDouble / exact.size) should be >= 0.6
   }
 
+  test("nearDuplicates(0.8) equals exact all-pairs jaccard on the sf0.001 corpus") {
+    // the dedup_near_pairs driver gate in miniature: LSH candidates +
+    // exact verify must reproduce the exact all-pairs ground truth
+    // EXACTLY (candidate recall included) at threshold 0.8
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = corpus.select($"doc_id",
+      array_distinct(Dedup.shingles($"text", 3)).as("sh"))
+    val exact = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        round(Dedup.jaccard($"a.sh", $"b.sh"), 6).as("j"))
+      .filter($"j" >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    exact.size should be > 0 // non-vacuous: the corpus plants near-dups
+    got shouldBe exact
+  }
+
+  test("near-dup / ANN products leave no stale storage blocks behind") {
+    val sc = spark.sparkContext
+    // other suites share this session — compare against a snapshot, not {}
+    val before = sc.getPersistentRDDs.keySet
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+    val sh = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
+    val ann = Similarity.lshTopK(embeddings,
+      embeddings.filter($"vec_id" === 0L), k = 3, dim = 8)
+    // results are eager; the only NEW blocks may be the results' own
+    val own = Seq(nd, sh, ann)
+      .flatMap(org.apache.spark.sql.GraftLineage.plannedRddIds(_)).toSet
+    val leaked = sc.getPersistentRDDs.keySet -- before -- own
+    leaked shouldBe empty
+    // releasing the results drops the rest
+    Seq(nd, sh, ann).foreach(d =>
+      org.apache.spark.sql.GraftLineage.release(d, blocking = true))
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
+
   test("multimodal: schema plumbing, batch extract, frame sampling") {
     val media = Multimodal.syntheticMedia(spark, 30)
     media.count() shouldBe 30L

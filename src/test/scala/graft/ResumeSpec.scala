@@ -46,6 +46,47 @@ class ResumeSpec extends SparkSpec {
       ((firstStep + 1) until (firstStep + 1 + resumed.metrics.length)).toArray
   }
 
+  test("all four strategies checkpoint and resume to identical labels") {
+    import graft.operators.ConnectedComponents.CCStrategy
+    val edges = Generators.random(spark, 400, 500, seed = 7L)
+    val expect = ConnectedComponents.run(edges).labels.collect()
+      .map(l => l.id -> l.label).toMap
+    val cases = Seq[(String, Config)](
+      "hook" -> Config(strategy = CCStrategy.HookAndContract),
+      "star" -> Config(strategy = CCStrategy.AlternatingStar),
+      // tiny sample cap forces the sampled strategy through several
+      // rounds so the resume is genuinely mid-run
+      "sampled" -> Config(strategy = CCStrategy.SampledContraction,
+        sampleHardCap = 60L),
+      "random" -> Config(strategy = CCStrategy.RandomizedHook))
+    for ((name, cfg0) <- cases) {
+      val dir = Files.createTempDirectory(s"graft-ckpt-$name").toString
+      val cfg = cfg0.copy(checkpointDir = Some(dir), checkpointEvery = 1,
+        runId = s"rs-$name")
+      val full = ConnectedComponents.run(edges, None, cfg)
+      withClue(s"$name full run: ") {
+        full.labels.collect().map(l => l.id -> l.label).toMap shouldBe expect
+      }
+      val ck = new CheckpointManager(spark, dir)
+      val latest = ck.latestStep().get
+      val firstStep = (1 to latest).find { s =>
+        Files.exists(java.nio.file.Paths.get(s"$dir/manifest-$s.json"))
+      }.get
+      withClue(s"$name manifest algo: ") {
+        ck.meta(firstStep).keySet should contain("algo")
+      }
+      Files.writeString(java.nio.file.Paths.get(s"$dir/_LATEST"), firstStep.toString)
+      Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/._LATEST.crc"))
+      // resume() dispatches on the manifest's algo field — the config's
+      // strategy is deliberately NOT passed
+      val resumed = ConnectedComponents.resume(spark, dir,
+        Config(runId = s"rs-$name-resume"))
+      withClue(s"$name resumed: ") {
+        resumed.labels.collect().map(l => l.id -> l.label).toMap shouldBe expect
+      }
+    }
+  }
+
   test("manifest metadata round-trips") {
     val dir = Files.createTempDirectory("graft-ckpt2").toString
     val ck = new CheckpointManager(spark, dir)

@@ -52,6 +52,34 @@ class StreamingSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: hot event_type flood stays bounded; cold planted pair intact") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_type")
+    val edges = EdgeStreams.windowedCooccurrence(events,
+      window_ = "10 minutes", watermark = "10 minutes", maxGroupSize = 10)
+    val q = edges.writeStream.format("memory").queryName("cooc_hot")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      // 200 distinct users flood one (window, event_type) group; an
+      // uncapped self-join would emit C(200,2) = 19900 hot pairs
+      val flood = (0 until 200).map(u => (t(1 + u % 9), u.toLong, "hot"))
+      val cold = Seq((t(2), 1000L, "cold"), (t(3), 1001L, "cold"))
+      in.addData(flood ++ cold: _*)
+      q.processAllAvailable()
+      in.addData((t(59), 5000L, "late")) // advance watermark, close the window
+      q.processAllAvailable()
+      val got = spark.table("cooc_hot").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      got should contain((1000L, 1001L))             // cold pair survives
+      val hotPairs = got.filter(p => p._1 < 1000L && p._2 < 1000L)
+      hotPairs.size shouldBe (10 * 9) / 2            // C(maxGroupSize, 2), not C(200, 2)
+      // deterministic cap: the smallest user ids are kept
+      hotPairs.flatMap(p => Seq(p._1, p._2)).max should be < 10L
+    } finally q.stop()
+  }
+
   test("streaming: stateful exact dedup emits one survivor per content hash") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long)]
