@@ -102,7 +102,8 @@ object Bench {
       "triangles", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "ann_topk", "ann_topk_lsh", "text_stats",
-      "text_lang", "text_quality", "text_jaccard_topk", "content_sha",
+      "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",
+      "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")
     val queries = SparkEntry.queries
     // cc_parts: a larger derived-graph CC at this SF (part co-occurrence),

@@ -142,6 +142,29 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // corpus vocabulary top-100 (Zipf-skewed token agg; map-side combine)
+    "vocab_topk" -> ((s, dir) =>
+      graft.functions.TextAnalysis.vocabTopK(
+          s.read.parquet(s"$dir/documents.parquet"), col("text"), 100)
+        .orderBy(col("cnt").desc, col("token").asc)),
+    // exact distributed order statistics over per-doc token counts:
+    // min / quartiles / max by global rank (two-pass, no global sort)
+    "token_count_ranks" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val n = d.count()
+      graft.operators.GraphMetrics.valueAtRanks(d, "n_tokens", "doc_id",
+        Seq(1L, n / 4, n / 2, 3 * n / 4, n)).orderBy("rank")
+    }),
+    // the skew guard itself on hard signal: deterministic per-source cap
+    // (keep the 10 smallest doc_ids per source)
+    "docs_per_source_cap" -> ((s, dir) =>
+      graft.plans.Skew.capGroups(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), coalesce(col("source"), lit("text")).as("source")),
+          Seq(col("source")), col("doc_id"), 10)
+        .orderBy("source", "doc_id")),
     // exact 3-shingle Jaccard top-3 for the 5 lowest doc_ids (the
     // verification kernel of the near-dup pipeline, on hard signal;
     // integer-ratio arithmetic → bit-exact vs the SQL oracle)
@@ -528,6 +551,29 @@ object SparkEntry {
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |       ELSE 'riff' END AS sniffed_kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    "token_count_ranks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens, doc_id) AS rank FROM d),
+        |n AS (SELECT count(*) AS n FROM d)
+        |SELECT CAST(rank AS BIGINT) AS rank, n_tokens FROM r, n
+        |WHERE rank IN (1, n // 4, n // 2, 3 * n // 4, n) ORDER BY rank""".stripMargin,
+    "docs_per_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, coalesce(source, 'text') AS source,
+        |    row_number() OVER (PARTITION BY coalesce(source, 'text')
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     // exact all-pairs 3-shingle Jaccard ≥ 0.8 — the ground truth the
     // LSH+verify pipeline must reproduce exactly (recall included)
     "dedup_near_pairs" ->

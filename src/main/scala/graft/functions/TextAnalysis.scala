@@ -89,6 +89,19 @@ object TextAnalysis {
     case "en" => 4; case "de" => 3; case "fr" => 2; case _ => 1
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency (ties → token asc) —
+    * the skewed-aggregation showcase of the pipeline surface. Token
+    * frequency is Zipf by nature, but explode + hash agg needs no
+    * salting: map-side partial aggregation collapses the hottest token
+    * to one row per input partition before the shuffle; `orderBy+limit`
+    * plans as TakeOrdered (per-partition top-k merged on the driver),
+    * never a global sort shuffle. */
+  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
   /** 64-bit document fingerprint: an order-sensitive rolling mix of token
     * hashes, pure bitwise ops (no ANSI overflow): acc = rot(acc) ^ h(tok).
     * Equal normalized token streams ⇒ equal fingerprints. */

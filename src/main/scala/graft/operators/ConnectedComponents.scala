@@ -82,8 +82,29 @@ object ConnectedComponents {
       /** Per-partition vertex cap for pre-contraction: bounds each task's
         * union-find memory deterministically (~40 MB at 250k); edges past
         * the cap pass through unchanged (still correct — just contracts
-        * less). Sized for 32 concurrent tasks in an 8 GiB driver JVM. */
-      preContractCap: Int = 250000,
+        * less). ~70 B/vertex of LongMap state → 1 M ≈ 70 MB per task,
+        * ≈ 2.2 GB at 32 concurrent tasks — fits the 8 GiB sandbox heap
+        * and typical executor task memory. Raising 250k → 1M cut the
+        * 16 M-edge suite from 3 supersteps to 2 and beat the old cap at
+        * every parallelism measured (local[2/8/32]); size to
+        * taskMemory / ~70 B on real executors
+        * (env override: SPARK_GRAFT_PRECONTRACT_CAP). */
+      preContractCap: Int = sys.env.get("SPARK_GRAFT_PRECONTRACT_CAP")
+        .map(_.toInt).getOrElse(1000000),
+      /** Pointer-jump frontiers at or below this row count are resolved
+        * via a broadcast probe of the lookup map + driver-side fixups
+        * instead of a shuffle join: a 7-row tail frontier was paying a
+        * full shuffle of the multi-million-row label map (~3 s/jump at
+        * local[8] on the 16 M-edge suite; at 100 TB it would shuffle
+        * terabytes to resolve a handful of stragglers). */
+      smallFrontierRows: Long = 100000L,
+      /** Run the per-round contraction and mapping-composition jobs
+        * concurrently (they share no dependency). Opt-in: on a single
+        * memory-constrained JVM the two jobs contend for the same heap
+        * and spill; on a real cluster with separate executor memory the
+        * overlap removes one serial driver job from the round.
+        * Env override: SPARK_GRAFT_CC_OVERLAP=1/0. */
+      overlapJobs: Boolean = sys.env.get("SPARK_GRAFT_CC_OVERLAP").contains("1"),
       /** stderr progress lines per superstep/jump (diagnostics). */
       verbose: Boolean = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
 
@@ -103,9 +124,22 @@ object ConnectedComponents {
     // them (hook pre-contraction and the per-step distinct()s dedup
     // structurally), and skipping the up-front distinct() saves a full
     // shuffle+materialization of the largest table in the whole job.
-    val cleaned = GraphIO.normalize(edges)
-      .filter(col("src") =!= col("dst"))
-      .toDF().cutLineage()
+    // The ONE materialization of the cleaned input is written directly in
+    // the layout its strategy wants: the hook path gets its CSR-style
+    // range layout here (materializing `cleaned` and then a ranged copy
+    // of it was two full passes over the largest table in the job —
+    // measured ~14 s of the 69 s local[8] 16 M-edge run).
+    val cleanedLazy = GraphIO.normalize(edges)
+      .filter(col("src") =!= col("dst")).toDF()
+    val p = spark.sessionState.conf.numShufflePartitions
+    val cleaned = (cfg.strategy match {
+      case CCStrategy.HookAndContract if cfg.preContract =>
+        // (src, dst) — not src alone — so a single-hub star spreads
+        // across partitions instead of forming one straggler task
+        cleanedLazy.repartitionByRange(p, $"src", $"dst")
+          .sortWithinPartitions($"src", $"dst")
+      case _ => cleanedLazy
+    }).cutLineage()
     val verts = GraphIO.vertices(cleaned.as[Edge]).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
@@ -113,7 +147,7 @@ object ConnectedComponents {
 
     val cleanedDs = cleaned.as[Edge]
     val (labels, metrics) = cfg.strategy match {
-      case CCStrategy.HookAndContract    => hookAndContract(cleanedDs, mapping0, cfg)
+      case CCStrategy.HookAndContract    => hookAndContract(cleanedDs, mapping0, cfg, preRanged = true)
       case CCStrategy.AlternatingStar    => alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.RandomizedHook     => randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
@@ -154,7 +188,7 @@ object ConnectedComponents {
   // ---------------------------------------------------------------------
   private def hookAndContract(
       edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
-      startRound: Int = 0): (DataFrame, Seq[SuperstepMetrics]) = {
+      startRound: Int = 0, preRanged: Boolean = false): (DataFrame, Seq[SuperstepMetrics]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
@@ -166,13 +200,14 @@ object ConnectedComponents {
     // upstream dedup's hash shuffle scatters structure randomly — without
     // this, round-0 pre-contraction finds only fragments and pointer
     // jumping pays the full graph diameter (observed: 22 jumps vs 6).
-    // (src, dst) — not src alone — so a single-hub star (one src value)
-    // spreads across partitions instead of forming one straggler task.
+    // `preRanged`: run() already materialized the input in this layout
+    // (one pass instead of two); the resume path still ranges here.
     val p = spark.sessionState.conf.numShufflePartitions
-    var edges = (if (cfg.preContract)
+    var edges = (if (cfg.preContract && !preRanged)
         edges0.toDF().repartitionByRange(p, $"src", $"dst")
           .sortWithinPartitions($"src", $"dst") // CSR layout: chunks see contiguous segments
-      else edges0.toDF()).cutLineage()
+          .cutLineage()
+      else edges0.toDF())
     var mapping = mapping0.cutLineage()
     var round = startRound
     var edgeCount = edges.count()
@@ -189,10 +224,14 @@ object ConnectedComponents {
       // memory at any partition size): a block is contracted to its star
       // forest, the maps reset, and the next block begins. Blocks glue via
       // shared vertices in the global hook rounds.
+      // Materialized (barrier) because it has TWO consumers per round —
+      // the hook aggregation and the contraction relabel join; left lazy,
+      // the per-partition union-find pass ran twice per round (a measured
+      // ~6 s of the round-0 contraction's 12.7 s at local[8], 16 M edges).
       val chunkEdges = math.max(1, cfg.preContractCap / 2)
       val hookInput =
         if (!cfg.preContract) edges
-        else edges.as[Edge].mapPartitions { it =>
+        else barrier(edges.as[Edge].mapPartitions { it =>
           it.grouped(chunkEdges).flatMap { chunk =>
             val uf = new UnionFind
             chunk.foreach { e => uf.touch(e.src); uf.touch(e.dst); uf.union(e.src, e.dst) }
@@ -207,7 +246,7 @@ object ConnectedComponents {
               if (v == rep) Iterator.empty else Iterator.single(Edge(v, rep))
             }
           }
-        }.toDF()
+        }.toDF())
 
       // G2 hook-to-max: each src hooks to its largest (normalized) neighbor.
       // Partial+final hash aggregation reproduces local-hook + MPI_MAX
@@ -238,25 +277,52 @@ object ConnectedComponents {
       var doneParts = List.empty[DataFrame] // resolved (id, label) views
       val jumpBarriers = scala.collection.mutable.ArrayBuffer[DataFrame](hooked)
       var jumps = 0
-      var undone = 1L
+      var undone = edgeCount // |hooked| ≤ current edge count (upper bound)
       while (undone > 0) {
         val lookup = (doneParts.map(_.withColumn("done", lit(true))) :+
             frontier.select($"id", $"label", lit(false).as("done")))
           .reduce(_ union _)
-        val joined = frontier.as("a")
-          .join(lookup.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
-          .select($"a.id".as("id"),
-            coalesce($"b.label", $"a.label").as("label"),
-            ($"b.id".isNull || $"b.done").as("done"))
-        val (next, m) = barrierObserved(joined,
-          sum(when(!$"done", 1L).otherwise(0L)).as("undone"))
-        undone = Option(m("undone")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        // next holds every frontier row (resolved + still-undone); the
-        // barriers of earlier jumps still back doneParts — release at
-        // round end, not here.
-        jumpBarriers += next
-        doneParts ::= next.filter($"done").select($"id", $"label")
-        frontier = next.filter(!$"done").select($"id", $"label")
+        if (undone <= cfg.smallFrontierRows) {
+          // Tail fast path: the frontier fits on the driver, so probe the
+          // lookup map with a BROADCAST inner join (pure scan of the
+          // already-materialized barriers — no shuffle, no checkpoint
+          // write) and apply the one-hop rule locally. Every done row's
+          // label is already a final root (see induction note below), so
+          // the fixups here are exactly the join's semantics.
+          val fr = frontier.select($"id", $"label").collect()
+          val labelIds = fr.map(_.getLong(1)).distinct.toSeq
+          val probed = lookup
+            .join(broadcast(spark.createDataset(labelIds).toDF("lid")), $"id" === $"lid")
+            .select($"id", $"label", $"done").collect()
+          val target = probed.map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+          val resolved = fr.map { r =>
+            val (id, lbl) = (r.getLong(0), r.getLong(1))
+            target.get(lbl) match {
+              case None          => (id, lbl, true) // label is a root
+              case Some((l2, d)) => (id, l2, d)
+            }
+          }.toSeq
+          undone = resolved.count(!_._3)
+          val next = spark.createDataset(resolved).toDF("id", "label", "done")
+          // LocalRelation — nothing to barrier or release
+          doneParts ::= next.filter($"done").select($"id", $"label")
+          frontier = next.filter(!$"done").select($"id", $"label")
+        } else {
+          val joined = frontier.as("a")
+            .join(lookup.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
+            .select($"a.id".as("id"),
+              coalesce($"b.label", $"a.label").as("label"),
+              ($"b.id".isNull || $"b.done").as("done"))
+          val (next, m) = barrierObserved(joined,
+            sum(when(!$"done", 1L).otherwise(0L)).as("undone"))
+          undone = Option(m("undone")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          // next holds every frontier row (resolved + still-undone); the
+          // barriers of earlier jumps still back doneParts — release at
+          // round end, not here.
+          jumpBarriers += next
+          doneParts ::= next.filter($"done").select($"id", $"label")
+          frontier = next.filter(!$"done").select($"id", $"label")
+        }
         jumps += 1
         if (cfg.verbose)
           System.err.println(s"[cc-hook] round=$round jump=$jumps undone=$undone at ${ms}ms")
@@ -308,23 +374,32 @@ object ConnectedComponents {
       val prevMapping = mapping
       // The contraction and mapping-composition jobs share no dependency
       // (both read only the materialized f/fB and barrier'd inputs), so
-      // run them CONCURRENTLY: at low parallelism the serial per-round
-      // driver job chain is the measured scaling residue (2→8 cores was
-      // 0.71 efficiency with them sequential), and overlapping lets one
-      // job's shuffle/driver gaps backfill with the other's tasks.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.{Duration => SDuration}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val contractedF = Future(barrierObserved(contracted, count(lit(1)).as("n")))
-      val mappingF = Future(newMapping.cutLineage())
-      val (newEdges, cm) = Await.result(contractedF, SDuration.Inf)
+      // they CAN run concurrently — cfg.overlapJobs. On a real cluster
+      // that removes one serial driver job per round; on this
+      // single-JVM 8g sandbox the two materializations contend for the
+      // same heap (measured: local[8] 16M-edge suite regressed ~2× with
+      // overlap on), so the default is sequential.
+      val (newEdges, cm, newMappingDf) =
+        if (cfg.overlapJobs) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.{Duration => SDuration}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val contractedF = Future(barrierObserved(contracted, count(lit(1)).as("n")))
+          val mappingF = Future(newMapping.cutLineage())
+          val (e, m) = Await.result(contractedF, SDuration.Inf)
+          (e, m, Await.result(mappingF, SDuration.Inf))
+        } else {
+          val (e, m) = barrierObserved(contracted, count(lit(1)).as("n"))
+          if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
+          (e, m, newMapping.cutLineage())
+        }
       edges = newEdges
       val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
-      mapping = Await.result(mappingF, SDuration.Inf)
+      mapping = newMappingDf
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
       jumpBarriers.foreach(_.releaseLineage())
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
+      if (cfg.preContract) hookInput.releaseLineage() // last read: contraction join
 
       val stepMetric = SuperstepMetrics(cfg.runId, "cc-hook", round,
         edgeCount, newCount, -1L, jumps, (System.nanoTime() - t0) / 1000000)

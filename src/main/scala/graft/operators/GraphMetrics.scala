@@ -69,6 +69,38 @@ object GraphMetrics {
     out
   }
 
+  /** Exact distributed order statistics: the row value at each requested
+    * 1-based global rank under (value, tie) ascending order — the exact
+    * quantile/median primitive (approx_percentile's exact sibling; the
+    * corpus-stats leg of a data pipeline wants exact cut points for
+    * budget accounting). Same two-pass shape as [[prefixSum]]: range
+    * partition, tiny per-partition counts to the driver, per-partition
+    * `row_number` + broadcast partition offsets — p-way parallel, never
+    * a single-reducer global sort. `tieCol` must make the order total
+    * (unique key) for deterministic results. Eager; caller releases the
+    * (tiny) returned frame. */
+  def valueAtRanks(df: DataFrame, valueCol: String, tieCol: String,
+                   ranks: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    org.apache.spark.sql.GraftLineage.scopedBlocks(spark) {
+      val p = spark.sessionState.conf.numShufflePartitions
+      val ranged = org.apache.spark.sql.GraftLineage.barrier(
+        df.repartitionByRange(p, col(valueCol), col(tieCol)))
+      val counts = ranged.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until p).scanLeft(0L)((a, i) => a + counts.getOrElse(i, 0L))
+      val w = Window.partitionBy(col("_pid")).orderBy(col(valueCol), col(tieCol))
+      org.apache.spark.sql.GraftLineage.barrier(
+        ranged.withColumn("_pid", spark_partition_id())
+          .withColumn("rank", row_number().over(w).cast("long") +
+            element_at(lit(offsets.toArray), col("_pid") + 1))
+          .filter(col("rank").isin(ranks: _*))
+          .select(col("rank"), col(valueCol)))
+    }
+  }
+
   /** §2.5 — dense relabel: map arbitrary component labels to dense ids
     * [0, #components) in ascending-label order — the PPoPP renumbering
     * (`SparseSampling.hpp:297-309`). Fully distributed via the [[prefixSum]]

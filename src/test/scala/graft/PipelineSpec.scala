@@ -194,6 +194,25 @@ class PipelineSpec extends SparkSpec {
     ((exact & lsh).size.toDouble / exact.size) should be >= 0.6
   }
 
+  test("vocab top-k and exact rank selection match driver computations") {
+    val vocab = TextAnalysis.vocabTopK(docs, $"text", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.collect()
+      .flatMap(r => Option(r.getString(1)).toSeq)
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(5)
+    vocab shouldBe exact
+    // exact order statistics: v is a permutation of 0..100 (37 ⊥ 101),
+    // so the value at global rank r must be r-1
+    val df = spark.range(0, 101).select($"id".as("tie"), (($"id" * 37) % 101).as("v"))
+    val got = graft.operators.GraphMetrics.valueAtRanks(df, "v", "tie",
+        Seq(1L, 26L, 51L, 101L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 26L -> 25L, 51L -> 50L, 101L -> 100L)
+  }
+
   test("nearDuplicates(0.8) equals exact all-pairs jaccard on the sf0.001 corpus") {
     // the dedup_near_pairs driver gate in miniature: LSH candidates +
     // exact verify must reproduce the exact all-pairs ground truth

@@ -48,6 +48,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("minhash candidate generation is a bucket equi-join, never a cross join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = planOf(graft.functions.Dedup.minhashCandidates(
+      d, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("vocab_topk: limit+sort plans as TakeOrdered, no global sort of the vocabulary") {
+    val plan = planOf(SparkEntry.queries("vocab_topk")(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should include("partial_count") // map-side combine under the Zipf head
+  }
+
   test("degrees: map-side partial aggregation before the shuffle") {
     val plan = planOf(SparkEntry.queries("degrees")(spark, dir))
     plan should include("partial_count")
