@@ -99,7 +99,8 @@ object Bench {
     val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREPS", "2").toInt
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
-      "triangles", "degrees", "degrees_prefix_sum", "edges_supplier",
+      "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
+      "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "ann_topk", "ann_topk_lsh", "text_stats",
       "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",

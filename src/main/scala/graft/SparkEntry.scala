@@ -64,6 +64,21 @@ object SparkEntry {
     "triangles_per_vertex" -> ((s, dir) =>
       TriangleCount.perVertex(EdgeDerivation.supplierCooccurrenceByNation(s, dir))
         .orderBy("id")),
+    // level-synchronous BFS from the smallest vertex (hop distances) —
+    // over the CONNECTED supplier graph so the whole vertex set is gated
+    "bfs_hops" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrence(s, dir)
+      val src = edges.agg(min(least(col("src"), col("dst")))).head().getLong(0)
+      graft.operators.Traversal.hopDistances(edges, src).orderBy("id")
+    }),
+    // per-vertex local clustering coefficient (dense; 6 dp)
+    "clustering_coeff" -> ((s, dir) =>
+      TriangleCount.clusteringCoefficient(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("id")),
+    // common neighbors per edge = triangles through the edge
+    "common_neighbors" -> ((s, dir) =>
+      TriangleCount.commonNeighborsPerEdge(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("src", "dst")),
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
@@ -551,6 +566,44 @@ object SparkEntry {
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |       ELSE 'riff' END AS sniffed_kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "bfs_hops" ->
+      s"""WITH RECURSIVE e AS ($supplierEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |walk AS (
+         |  SELECT (SELECT min(src) FROM bidir) AS id, 0 AS d
+         |  UNION
+         |  SELECT b.dst, w.d + 1
+         |  FROM walk w JOIN bidir b ON w.id = b.src WHERE w.d < 64)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "clustering_coeff" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+         |      GROUP BY id),
+         |tri AS (
+         |  SELECT id, count(*) AS triangles FROM (
+         |    SELECT unnest([e1.src, e1.dst, e2.dst]) AS id
+         |    FROM e e1
+         |    JOIN e e2 ON e2.src = e1.dst
+         |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |  GROUP BY id)
+         |SELECT id,
+         |  CASE WHEN degree < 2 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(coalesce(triangles, 0) * CAST(2.0 AS DOUBLE) /
+         |                  (degree * (degree - 1)), 6) END AS clustering
+         |FROM d LEFT JOIN tri USING (id) ORDER BY id""".stripMargin,
+    "common_neighbors" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |cn AS (
+         |  SELECT e.src, e.dst, count(*) AS c
+         |  FROM e
+         |  JOIN bidir a ON a.src = e.src
+         |  JOIN bidir b ON b.src = e.dst AND b.dst = a.dst
+         |  GROUP BY e.src, e.dst)
+         |SELECT src, dst, CAST(coalesce(c, 0) AS BIGINT) AS common_neighbors
+         |FROM e LEFT JOIN cn USING (src, dst) ORDER BY src, dst""".stripMargin,
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

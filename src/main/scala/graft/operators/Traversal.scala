@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.GraftLineage._
+import graft.graph.{Edge, GraphIO}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Frontier-based graph traversal (Pregel-style BFS) — the unweighted
+  * shortest-path operator a link-graph engine owes its users alongside
+  * CC/PageRank/LPA/triangles. No reference counterpart (the reference is
+  * CC-only); semantics are the textbook level-synchronous BFS.
+  *
+  * Scale design: one shuffle equi-join per hop (frontier ⋈ adjacency),
+  * a left-anti join against the visited set to keep the frontier
+  * minimal, and a lineage barrier per hop (same iterative-join rules as
+  * the CC loop: without the barrier the plan and its statistics double
+  * every hop). The visited set accumulates as a union of per-hop
+  * barriers and is compacted into one barrier every `compactEvery` hops
+  * so the anti-join probe side stays a short union. Frontier and
+  * adjacency joins are both key-partitioned — no broadcast inside the
+  * loop (pins blocks until convergence), no driver-side state.
+  */
+object Traversal {
+
+  /** Hop distance from `source` to every reachable vertex (undirected),
+    * as (id, dist). `maxHops` bounds the loop (diameter guard); vertices
+    * beyond it are omitted, like unreachable ones. */
+  def hopDistances(edges: Dataset[Edge], source: Long,
+                   maxHops: Int = 64, compactEvery: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    scopedBlocks(spark) {
+      val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
+        .toDF("v", "nbr").cutLineage()
+      var frontier = spark.createDataset(Seq(source)).toDF("id")
+        .withColumn("dist", lit(0L))
+      var visitedParts = List[DataFrame](frontier)
+      var hop = 0
+      var frontierSize = 1L
+      while (frontierSize > 0 && hop < maxHops) {
+        hop += 1
+        val visited = visitedParts.reduce(_ union _)
+        val (next, m) = barrierObserved(
+          frontier.join(adj, $"id" === $"v")
+            .select($"nbr".as("id"), lit(hop.toLong).as("dist"))
+            .distinct()
+            .join(visited.select($"id"), Seq("id"), "left_anti"),
+          count(lit(1)).as("n"))
+        frontierSize = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        frontier = next
+        visitedParts ::= next
+        if (hop % compactEvery == 0) {
+          // compact the visited union into ONE barrier (it contains the
+          // live frontier's rows too, but `next` itself stays untouched
+          // and remains the frontier); free the superseded hop barriers
+          val merged = barrier(visitedParts.reduce(_ union _))
+          visitedParts.foreach(d => if (!(d eq next)) release(d))
+          visitedParts = List(merged)
+        }
+      }
+      val out = barrier(visitedParts.reduce(_ union _))
+      adj.releaseLineage()
+      out
+    }
+  }
+}

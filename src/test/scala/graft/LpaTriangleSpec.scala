@@ -192,6 +192,66 @@ class LpaTriangleSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("BFS hop distances: chain, star, disconnected component") {
+    import graft.operators.Traversal
+    // chain 0-1-2-...-9: dist(i) = i from source 0
+    val chain = spark.createDataset((0L until 9L).map(i => Edge(i, i + 1)))
+    val got = Traversal.hopDistances(chain, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe (0L until 10L).map(i => i -> i).toMap
+    // star: hub 0, leaves at dist 1 from hub; leaf-to-leaf via hub = 2
+    val star = spark.createDataset((1L until 6L).map(l => Edge(0L, l)))
+    Traversal.hopDistances(star, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (Map(0L -> 0L) ++ (1L until 6L).map(_ -> 1L))
+    Traversal.hopDistances(star, 3L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (Map(3L -> 0L, 0L -> 1L) ++ Seq(1L, 2L, 4L, 5L).map(_ -> 2L))
+    // disconnected: the other component is absent from the result
+    val two = spark.createDataset(Seq(Edge(0L, 1L), Edge(10L, 11L)))
+    val d2 = Traversal.hopDistances(two, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d2 shouldBe Map(0L -> 0L, 1L -> 1L)
+    // compaction path: chain long enough to cross compactEvery
+    val chain20 = spark.createDataset((0L until 20L).map(i => Edge(i, i + 1)))
+    val d20 = Traversal.hopDistances(chain20, 0L, maxHops = 64, compactEvery = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d20 shouldBe (0L until 21L).map(i => i -> i).toMap
+  }
+
+  test("clustering coefficient and common neighbors: K4 and brute force on random") {
+    import org.apache.spark.sql.functions._
+    // K4: every vertex has deg 3, sits in 3 triangles → cc = 2*3/(3*2) = 1
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield Edge(i, j)
+    val ccK4 = TriangleCount.clusteringCoefficient(spark.createDataset(k4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ccK4 shouldBe (0L until 4L).map(_ -> 1.0).toMap
+    // K4 edges each lie in 2 triangles (2 common neighbors)
+    val cnK4 = TriangleCount.commonNeighborsPerEdge(spark.createDataset(k4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cnK4.values.toSet shouldBe Set(2L)
+    cnK4.size shouldBe 6
+    // chain has no triangles: all zeros, every vertex cc 0
+    val chain = spark.createDataset((0L until 5L).map(i => Edge(i, i + 1)))
+    TriangleCount.commonNeighborsPerEdge(chain).collect()
+      .map(_.getLong(2)).toSet shouldBe Set(0L)
+    TriangleCount.clusteringCoefficient(chain).collect()
+      .map(_.getDouble(1)).toSet shouldBe Set(0.0)
+    // random graph vs brute force
+    val edges = graft.graph.Generators.random(spark, 40, 80, seed = 11L)
+      .collect().map(e => (e.src, e.dst)).toSet
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2)
+    val nbrs = canon.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val expectCn = canon.map { case (u, v) =>
+      (u, v) -> (nbrs(u) & nbrs(v)).size.toLong }.toMap
+    val gotCn = TriangleCount.commonNeighborsPerEdge(
+        spark.createDataset(edges.toSeq.map(e => Edge(e._1, e._2))))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    gotCn shouldBe expectCn
+  }
+
   test("degrees: star hub has n-1, leaves 1") {
     val got = GraphMetrics.degrees(Generators.star(spark, 8))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
