@@ -68,8 +68,10 @@ object SparkEntry {
     // over the CONNECTED supplier graph so the whole vertex set is gated
     "bfs_hops" -> ((s, dir) => {
       val edges = EdgeDerivation.supplierCooccurrence(s, dir)
-      val src = edges.agg(min(least(col("src"), col("dst")))).head().getLong(0)
-      graft.operators.Traversal.hopDistances(edges, src).orderBy("id")
+      val srcRow = edges.agg(min(least(col("src"), col("dst")))).head()
+      if (srcRow.isNullAt(0)) // empty edge set → empty result, not an NPE
+        s.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("dist")).limit(0)
+      else graft.operators.Traversal.hopDistances(edges, srcRow.getLong(0)).orderBy("id")
     }),
     // per-vertex local clustering coefficient (dense; 6 dp)
     "clustering_coeff" -> ((s, dir) =>
@@ -165,9 +167,13 @@ object SparkEntry {
     // exact distributed order statistics over per-doc token counts:
     // min / quartiles / max by global rank (two-pass, no global sort)
     "token_count_ranks" -> ((s, dir) => {
+      // NULL text → 0 tokens on BOTH sides (Spark range-sorts NULLs
+      // FIRST, DuckDB row_number defaults NULLS LAST — a single NULL row
+      // would shift every global rank otherwise)
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
-          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          coalesce(graft.functions.TextAnalysis.tokenCount(col("text")), lit(0L))
+            .as("n_tokens"))
       val n = d.count()
       graft.operators.GraphMetrics.valueAtRanks(d, "n_tokens", "doc_id",
         Seq(1L, n / 4, n / 2, 3 * n / 4, n)).orderBy("rank")
@@ -612,8 +618,8 @@ object SparkEntry {
     "token_count_ranks" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    coalesce(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT), 0)
         |      AS n_tokens
         |  FROM documents),
         |r AS (SELECT n_tokens,

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for training-data pipelines: exact (hash
   * groupBy), MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard
@@ -114,11 +113,12 @@ object Dedup {
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame =
     org.apache.spark.sql.GraftLineage.scopedBlocks(df.sparkSession) {
-      val base = df
+      // barrier (not persist): scopedBlocks tracks barriers per-thread,
+      // so this cache is released on exit even under concurrent calls
+      val base = org.apache.spark.sql.GraftLineage.barrier(df
         .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
         .select(col(idCol).as("id"),
-          array_distinct(shingles(col(textCol), k)).as("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          array_distinct(shingles(col(textCol), k)).as("sh")))
       val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands,
         rowsPerBand, maxBucket)
       org.apache.spark.sql.GraftLineage.barrier(cands

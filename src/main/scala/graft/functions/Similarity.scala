@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and
@@ -103,8 +102,9 @@ object Similarity {
             call_function("shiftrightunsigned", col("sig"), b * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1)))))
         .toDF(idName, embName, "band", "bucket")
-    val c = banded(corpus, "nbr_id", "nbr_emb")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // barrier (not persist): tracked by the enclosing scopedBlocks
+    val c = org.apache.spark.sql.GraftLineage.barrier(
+      banded(corpus, "nbr_id", "nbr_emb"))
     val q = banded(queries, "query_id", "q_emb")
     val cands = c.join(broadcast(q),
         c("band") === q("band") && c("bucket") === q("bucket") &&

@@ -19,12 +19,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object TriangleCount {
 
+  /** Degree table computed from an ALREADY-canonical edge set (single
+    * scan; `GraphMetrics.degrees` would re-canonicalize). */
+  private def degreesOfCanonical(canon: Dataset[Edge]): DataFrame =
+    canon.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(org.apache.spark.sql.functions.count(lit(1)).as("degree"))
+
   /** Degree-oriented edge table: one row (lo, hi) per canonical edge with
     * rank(lo) < rank(hi), rank = (degree, id). */
-  private[graft] def orient(canon: Dataset[Edge]): DataFrame = {
+  private[graft] def orient(canon: Dataset[Edge]): DataFrame =
+    orient(canon, degreesOfCanonical(canon))
+
+  private def orient(canon: Dataset[Edge], deg: DataFrame): DataFrame = {
     val spark = canon.sparkSession
     import spark.implicits._
-    val deg = GraphMetrics.degrees(canon)
     val withDeg = canon.as("e")
       .join(deg.as("ds"), $"e.src" === $"ds.id")
       .join(deg.as("dd"), $"e.dst" === $"dd.id")
@@ -35,6 +43,25 @@ object TriangleCount {
         .otherwise($"dst").as("lo"),
       when($"sdeg" < $"ddeg" || ($"sdeg" === $"ddeg" && $"src" < $"dst"), $"dst")
         .otherwise($"src").as("hi"))
+  }
+
+  /** Shared enumeration backbone: persist canon + oriented, hand the
+    * caller (canon, degrees, confirmed triangles (a,u,v,src,dst)), then
+    * unpersist. `f` must consume its result EAGERLY (count/collect/
+    * barrier) — a lazy return would recompute after the unpersists. */
+  private def withTriangleBase[T](edges: Dataset[Edge])(
+      f: (DataFrame, DataFrame, DataFrame) => T): T = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = GraphIO.canonical(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = degreesOfCanonical(canon)
+    val oriented = orient(canon, deg).persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = wedges(oriented)
+      .select($"a", $"u", $"v",
+        least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
+      .join(canon, Seq("src", "dst"), "left_semi")
+    try f(canon.toDF(), deg, tri)
+    finally { oriented.unpersist(); canon.unpersist() }
   }
 
   /** Wedges (a; u, v) from the low-rank apex of the oriented table —
@@ -50,85 +77,64 @@ object TriangleCount {
   /** Total triangle count (one row, column `triangles`). */
   def count(edges: Dataset[Edge]): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    val canon = GraphIO.canonical(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val oriented = orient(canon).persist(StorageLevel.MEMORY_AND_DISK)
-    val closing = wedges(oriented).select(
-      least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
-    val n = closing.join(canon, Seq("src", "dst"), "left_semi").count()
-    oriented.unpersist(); canon.unpersist()
-    spark.createDataset(Seq(n)).toDF("triangles")
+    val n = withTriangleBase(edges)((_, _, tri) => tri.count())
+    spark.createDataset(Seq(n))(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("triangles")
   }
 
   /** Per-vertex triangle participation counts. Vertices in no triangle are
     * absent (join with degrees for a dense view). Same oriented-wedge
     * bound as [[count]]: the triple (apex, u, v) is kept through the
-    * closing semi-join, then each member is credited once. */
-  def perVertex(edges: Dataset[Edge]): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val canon = GraphIO.canonical(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val oriented = orient(canon).persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = wedges(oriented)
-      .select($"a", $"u", $"v",
-        least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
-      .join(canon, Seq("src", "dst"), "left_semi")
-    // materialize while the persisted inputs are still cached (oriented
-    // is scanned twice by the wedge self-join, canon twice) — a lazy
-    // return would execute after the unpersists and recompute both
-    val out = org.apache.spark.sql.GraftLineage.barrier(
-      tri.select(explode(array($"a", $"u", $"v")).as("id"))
-        .groupBy($"id")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles")))
-    oriented.unpersist(); canon.unpersist()
-    out
-  }
+    * closing semi-join, then each member is credited once. Eager. */
+  def perVertex(edges: Dataset[Edge]): DataFrame =
+    withTriangleBase(edges) { (_, _, tri) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      org.apache.spark.sql.GraftLineage.barrier(
+        tri.select(explode(array($"a", $"u", $"v")).as("id"))
+          .groupBy($"id")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles")))
+    }
 
   /** Per-vertex local clustering coefficient:
     * 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for deg < 2; rounded to 6 dp.
-    * One row per vertex (dense — vertices in no triangle get 0). */
-  def clusteringCoefficient(edges: Dataset[Edge]): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val deg = GraphMetrics.degrees(edges)
-    val tri = perVertex(edges)
-    val out = org.apache.spark.sql.GraftLineage.barrier(
-      deg.join(tri, Seq("id"), "left")
-        .select($"id",
-          when($"degree" < 2, lit(0.0)).otherwise(
-            round(coalesce($"triangles", lit(0L)) * 2.0 /
-              ($"degree" * ($"degree" - 1)), 6)).as("clustering")))
-    org.apache.spark.sql.GraftLineage.release(tri) // perVertex returns an eager barrier
-    out
-  }
+    * One row per vertex (dense — vertices in no triangle get 0). Eager;
+    * one shared canonical/degree/wedge pass (not perVertex + degrees). */
+  def clusteringCoefficient(edges: Dataset[Edge]): DataFrame =
+    withTriangleBase(edges) { (_, deg, tri) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val perV = tri.select(explode(array($"a", $"u", $"v")).as("id"))
+        .groupBy($"id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        deg.join(perV, Seq("id"), "left")
+          .select($"id",
+            when($"degree" < 2, lit(0.0)).otherwise(
+              round(coalesce($"triangles", lit(0L)) * 2.0 /
+                ($"degree" * ($"degree" - 1)), 6)).as("clustering")))
+    }
 
   /** Common-neighbor count per canonical edge (u, v): |N(u) ∩ N(v)| =
     * the number of triangles through the edge — the basic link-prediction
     * feature. Edges in no triangle are reported with 0. Same O(m^1.5)
     * oriented wedge enumeration as [[count]]: each confirmed triangle
     * (a; u, v) credits its three edges once, in canonical (min, max)
-    * orientation. */
-  def commonNeighborsPerEdge(edges: Dataset[Edge]): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val canon = GraphIO.canonical(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val oriented = orient(canon).persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = wedges(oriented)
-      .select($"a", $"u", $"v",
-        least($"u", $"v").as("src"), greatest($"u", $"v").as("dst"))
-      .join(canon, Seq("src", "dst"), "left_semi")
-    val perEdge = tri.select(explode(array(
-        struct(least($"a", $"u").as("src"), greatest($"a", $"u").as("dst")),
-        struct(least($"a", $"v").as("src"), greatest($"a", $"v").as("dst")),
-        struct($"src", $"dst"))).as("e"))
-      .select($"e.src".as("src"), $"e.dst".as("dst"))
-      .groupBy($"src", $"dst")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("common_neighbors"))
-    val out = org.apache.spark.sql.GraftLineage.barrier(
-      canon.toDF().join(perEdge, Seq("src", "dst"), "left")
-        .select($"src", $"dst",
-          coalesce($"common_neighbors", lit(0L)).as("common_neighbors")))
-    oriented.unpersist(); canon.unpersist()
-    out
-  }
+    * orientation. Eager. */
+  def commonNeighborsPerEdge(edges: Dataset[Edge]): DataFrame =
+    withTriangleBase(edges) { (canonDf, _, tri) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val perEdge = tri.select(explode(array(
+          struct(least($"a", $"u").as("src"), greatest($"a", $"u").as("dst")),
+          struct(least($"a", $"v").as("src"), greatest($"a", $"v").as("dst")),
+          struct($"src", $"dst"))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .groupBy($"src", $"dst")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("common_neighbors"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        canonDf.join(perEdge, Seq("src", "dst"), "left")
+          .select($"src", $"dst",
+            coalesce($"common_neighbors", lit(0L)).as("common_neighbors")))
+    }
 }

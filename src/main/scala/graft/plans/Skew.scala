@@ -90,11 +90,24 @@ object Skew {
     val obs = org.apache.spark.sql.Observation()
     val ranked = df.withColumn("_rn", row_number().over(w))
       .observe(obs, sum(when(col("_rn") > maxSize, 1L).otherwise(0L)).as("dropped"))
-    // obs.get blocks until an action materializes the frame; wait on a
-    // daemon thread so the (lazy) caller is never blocked and an
-    // abandoned, never-executed plan leaks only a parked thread.
+    // A daemon thread polls for the observed metric so the (lazy) caller
+    // is never blocked; the DEADLINE bounds the leak for plans that are
+    // constructed but never executed (explain tooling, speculative query
+    // building) — the thread exits after 30 min instead of parking
+    // forever. (The Observation's listener itself stays registered until
+    // first execution — one small object per abandoned plan.)
     val waiter = new Thread(() => {
-      val dropped = Option(obs.get("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      import org.apache.spark.sql.GraftLineage.observedOrEmpty
+      val deadline = System.currentTimeMillis() + 30L * 60 * 1000
+      var m = observedOrEmpty(obs)
+      while (m.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(2000)
+        m = observedOrEmpty(obs)
+      }
+      val dropped = m.get("dropped").flatMap(Option(_)) match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _                       => 0L
+      }
       if (dropped > 0)
         System.err.println(s"[skew] capGroups dropped $dropped rows past cap=$maxSize " +
           "(near-dup candidates lost; run exact dedup upstream if this is large)")

@@ -34,9 +34,12 @@ object ScalingBench {
 
     val times = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(Double.MaxValue)
+    // edges processed on the BEST pass of each config (superstep count —
+    // and thus Σ edgesIn — can differ with shuffle.partitions, so work is
+    // paired with its own config's best time, never another pass's)
+    val processedAt = scala.collection.mutable.Map.empty[Int, Long]
     val all = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var edgesIn = 0L
-    var processed = 0L
 
     for (rep <- 1 to reps; n <- cpus) {
       // one SparkContext at a time; master changes per measurement
@@ -58,9 +61,11 @@ object ScalingBench {
       val res = ConnectedComponents.run(suite)
       ConnectedComponents.componentCount(res.labels)
       val sec = (System.nanoTime() - t0) / 1e9
-      processed = res.metrics.map(_.edgesIn).sum
       all += n -> sec
-      if (sec < times(n)) times(n) = sec
+      if (sec < times(n)) {
+        times(n) = sec
+        processedAt(n) = res.metrics.map(_.edgesIn).sum
+      }
       System.err.println(f"[scaling] rep=$rep local[$n] ${sec}%.1f s")
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -75,9 +80,11 @@ object ScalingBench {
     val json =
       s"""{"metric":"cc_scaling_efficiency","value":${fmt(eff)},"unit":"t$nLo/(${factor.toInt}*t$nHi)",""" +
       s""""best_sec":{"$nLo":${fmt(times(nLo))},"$nHi":${fmt(times(nHi))}},""" +
-      s""""edges_per_sec":{"$nLo":${(processed / times(nLo)).toLong},"$nHi":${(processed / times(nHi)).toLong}},""" +
+      s""""edges_per_sec":{"$nLo":${(processedAt(nLo) / times(nLo)).toLong},""" +
+      s""""$nHi":${(processedAt(nHi) / times(nHi)).toLong}},""" +
       s""""passes":$passes,"reps":$reps,"bench_scale":$scale,""" +
-      s""""cc_input_edges":$edgesIn,"cc_edges_processed":$processed}"""
+      s""""cc_input_edges":$edgesIn,""" +
+      s""""cc_edges_processed":{"$nLo":${processedAt(nLo)},"$nHi":${processedAt(nHi)}}}"""
     try {
       val p = Paths.get(outFile)
       if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -30,6 +30,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `internalCreateDataFrame`. Public Spark API only, no behavior patching.
   */
 object GraftLineage {
+  // Per-thread stack of open [[scopedBlocks]] scopes; [[barrier]]
+  // registers each checkpointed RDD id into the innermost scope of ITS
+  // OWN thread, so concurrent library calls on one SparkSession can
+  // never release each other's in-flight blocks (a global
+  // getPersistentRDDs diff could).
+  private val scopeStack = new ThreadLocal[List[scala.collection.mutable.Set[Int]]] {
+    override def initialValue(): List[scala.collection.mutable.Set[Int]] = Nil
+  }
+
   /** Eagerly materialize `df`, truncating RDD lineage, logical plan AND
     * statistics lineage. The returned frame's plan wraps the actual
     * checkpointed RDD so [[release]] can free its blocks later. */
@@ -42,6 +51,10 @@ object GraftLineage {
     // on the new frame reaches the real blocks.
     val rdd = cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
       .getOrElse(cp.queryExecution.toRdd)
+    scopeStack.get() match {
+      case head :: _ => head += rdd.id
+      case Nil       => ()
+    }
     spark.internalCreateDataFrame(rdd, cp.schema, isStreaming = false)
   }
 
@@ -68,21 +81,39 @@ object GraftLineage {
 
   /** Library-call block hygiene: run `body` (which must EAGERLY
     * materialize its return value — end with [[barrier]]/`cutLineage`),
-    * then release every storage block it created EXCEPT those backing the
-    * returned frame. Intermediate persists/barriers inside a pipeline
-    * call (signature caches, candidate buckets) otherwise accumulate
-    * MEMORY_AND_DISK blocks across repeated library calls; the caller
-    * frees the result itself with `releaseLineage()` when done. */
+    * then release every barrier `body` created on THIS thread except
+    * those backing the returned frame. Intermediate barriers inside a
+    * pipeline call (signature caches, candidate buckets) otherwise
+    * accumulate MEMORY_AND_DISK blocks across repeated library calls;
+    * the caller frees the result itself with `releaseLineage()` when
+    * done. Tracking is thread-local (not a global block-store diff), so
+    * concurrent calls on one session are safe; a nested scope's kept
+    * result is handed to the parent scope, which releases it in turn. */
   def scopedBlocks[T](spark: SparkSession)(body: => Dataset[T]): Dataset[T] = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = body
-    val keep = plannedRddIds(out)
-    sc.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) && !keep.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    out
+    val scope = scala.collection.mutable.Set.empty[Int]
+    scopeStack.set(scope :: scopeStack.get())
+    try {
+      val out = body
+      val keep = plannedRddIds(out)
+      val persistent = spark.sparkContext.getPersistentRDDs
+      (scope.toSet -- keep).foreach(id =>
+        persistent.get(id).foreach(_.unpersist(blocking = false)))
+      out
+    } finally {
+      val rest = scopeStack.get().tail
+      scopeStack.set(rest)
+      // the parent scope inherits everything (released ids are absent
+      // from getPersistentRDDs by then — double-release is a no-op)
+      rest.headOption.foreach(_ ++= scope)
+    }
   }
+
+  /** Non-blocking read of an [[Observation]]'s metrics (empty until the
+    * observed plan's first action completes). `Observation.getOrEmpty`
+    * is `private[sql]`; this package-located accessor lets pollers
+    * (e.g. the capGroups drop-count waiter) check without parking on
+    * the blocking `get`. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 
   /** [[barrier]] that also evaluates aggregate metrics over the rows in
     * the SAME materialization job (Dataset.observe) — saves the separate
