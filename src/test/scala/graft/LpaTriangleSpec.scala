@@ -217,6 +217,10 @@ class LpaTriangleSpec extends SparkSpec {
     val d20 = Traversal.hopDistances(chain20, 0L, maxHops = 64, compactEvery = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     d20 shouldBe (0L until 21L).map(i => i -> i).toMap
+    // maxHops truncation: vertices beyond the bound are omitted
+    val d3 = Traversal.hopDistances(chain20, 0L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d3 shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
   }
 
   test("clustering coefficient and common neighbors: K4 and brute force on random") {

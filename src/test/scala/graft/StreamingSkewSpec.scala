@@ -105,6 +105,28 @@ class StreamingSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: edges-per-window metrics stream emits finalized windows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val edges = in.toDF().toDF("ts", "src", "dst")
+    val counts = EdgeStreams.edgesPerWindow(edges, "ts",
+      window_ = "10 minutes", watermark = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("epw")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      in.addData((t(1), 0L, 1L), (t(2), 1L, 2L), (t(12), 5L, 6L))
+      q.processAllAvailable()
+      in.addData((t(59), 7L, 8L)) // watermark passes both earlier windows
+      q.processAllAvailable()
+      val got = spark.table("epw").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      got("2026-01-01 10:00:00.0") shouldBe 2L
+      got("2026-01-01 10:10:00.0") shouldBe 1L
+      got.contains("2026-01-01 10:50:00.0") shouldBe false // window still open
+    } finally q.stop()
+  }
+
   test("skew: two-phase join equals plain join") {
     val big = spark.range(0, 10000).select(
       when($"id" % 100 === 0, lit(7L)).otherwise($"id" % 500).as("k1"),
