@@ -100,7 +100,7 @@ object Bench {
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
-      "degrees", "degrees_prefix_sum", "edges_supplier",
+      "kcore3", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "ann_topk", "ann_topk_lsh", "text_stats",
       "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",

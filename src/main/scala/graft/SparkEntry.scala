@@ -73,6 +73,10 @@ object SparkEntry {
         s.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("dist")).limit(0)
       else graft.operators.Traversal.hopDistances(edges, srcRow.getLong(0)).orderBy("id")
     }),
+    // 3-core of the nation graph (iterative degree peeling to fixpoint)
+    "kcore3" -> ((s, dir) =>
+      graft.operators.Traversal.kCoreVertices(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir), k = 3).orderBy("id")),
     // per-vertex local clustering coefficient (dense; 6 dp)
     "clustering_coeff" -> ((s, dir) =>
       TriangleCount.clusteringCoefficient(
@@ -349,6 +353,31 @@ object SparkEntry {
        |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** k-core by unrolled peeling (like the LPA/PageRank oracles, the
+    * fixed-point loop is unrolled because recursive CTE terms cannot
+    * aggregate): `iters` must be ≥ the peel depth — extra iterations are
+    * fixpoint no-ops, so equality is exact once converged. */
+  private def kCoreOracleSql(edgesSql: String, k: Int, iters: Int): String = {
+    // MATERIALIZED is load-bearing: each step references the previous CTE
+    // three times, and DuckDB inlines plain CTEs — the expansion (and the
+    // parquet open count) grows exponentially in `iters` without it
+    // (observed as "Too many open files" at 25 steps).
+    val steps = (1 to iters).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+         |  SELECT src AS id FROM e${t - 1} UNION ALL SELECT dst AS id FROM e${t - 1})
+         |  GROUP BY id),
+         |v$t AS MATERIALIZED (SELECT id FROM d$t WHERE dg >= $k),
+         |e$t AS MATERIALIZED (SELECT src, dst FROM e${t - 1}
+         |        WHERE src IN (SELECT id FROM v$t)
+         |          AND dst IN (SELECT id FROM v$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+       |$steps
+       |SELECT id FROM (SELECT src AS id FROM e$iters
+       |                UNION SELECT dst AS id FROM e$iters) x
+       |ORDER BY id""".stripMargin
+  }
+
   /** Fixed-iteration synchronous LPA (most frequent neighbor label, ties
     * → smallest) as an unrolled chain of CTEs — integer state, exact. */
   private def lpaOracleSql(edgesSql: String, iters: Int): String = {
@@ -582,6 +611,7 @@ object SparkEntry {
          |  FROM walk w JOIN bidir b ON w.id = b.src WHERE w.d < 64)
          |SELECT id, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+    "kcore3" -> kCoreOracleSql(nationEdgesSql, k = 3, iters = 25),
     "clustering_coeff" ->
       s"""WITH e AS ($nationEdgesSql),
          |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree

@@ -63,4 +63,39 @@ object Traversal {
       out
     }
   }
+
+  /** Vertices of the k-core: the maximal subgraph in which every vertex
+    * has degree ≥ k, by iterative peeling — recompute degrees, drop
+    * vertices under k, drop their edges, repeat to fixpoint. One degree
+    * aggregation + two semi-joins per iteration, fixpoint detected from
+    * the edge count observed inside the same materialization job. The
+    * iteration count is data-dependent (≤ peel depth, NOT diameter);
+    * each round is a full parallel pass, nothing driver-side. */
+  def kCoreVertices(edges: Dataset[Edge], k: Int, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    scopedBlocks(spark) {
+      var e = GraphIO.canonical(edges).toDF().cutLineage()
+      var m = e.count()
+      var changed = m > 0
+      var iter = 0
+      while (changed && iter < maxIter) {
+        iter += 1
+        val keep = e.select(explode(array($"src", $"dst")).as("id"))
+          .groupBy($"id").agg(count(lit(1)).as("dg"))
+          .filter($"dg" >= k).select($"id")
+        val (next, obs) = barrierObserved(
+          e.join(keep.as("ks"), $"src" === $"ks.id", "left_semi")
+            .join(keep.as("kd"), $"dst" === $"kd.id", "left_semi"),
+          count(lit(1)).as("n"))
+        val m2 = Option(obs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        release(e)
+        e = next
+        changed = m2 != m
+        m = m2
+      }
+      require(!changed, s"k-core did not converge in $maxIter iterations")
+      barrier(GraphIO.vertices(e.as[Edge]).toDF("id"))
+    }
+  }
 }

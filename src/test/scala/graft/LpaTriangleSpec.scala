@@ -223,6 +223,23 @@ class LpaTriangleSpec extends SparkSpec {
     d3 shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
   }
 
+  test("k-core peeling: K4 with pendant path; chain empties, cycle survives") {
+    import graft.operators.Traversal
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield Edge(i, j)
+    val pendant = Seq(Edge(3L, 10L), Edge(10L, 11L), Edge(11L, 12L))
+    val g = spark.createDataset(k4 ++ pendant)
+    // pendant path peels over several iterations; the K4 is the 3-core
+    Traversal.kCoreVertices(g, 3).collect().map(_.getLong(0)).toSet shouldBe
+      Set(0L, 1L, 2L, 3L)
+    // 2-core of a pure chain is empty (end-peel cascade, multi-iteration)
+    val chain = spark.createDataset((0L until 6L).map(i => Edge(i, i + 1)))
+    Traversal.kCoreVertices(chain, 2).count() shouldBe 0L
+    // 2-core of a cycle is the whole cycle
+    val cycle = spark.createDataset((0L until 6L).map(i => Edge(i, (i + 1) % 6)))
+    Traversal.kCoreVertices(cycle, 2).collect().map(_.getLong(0)).toSet shouldBe
+      (0L until 6L).toSet
+  }
+
   test("clustering coefficient and common neighbors: K4 and brute force on random") {
     import org.apache.spark.sql.functions._
     // K4: every vertex has deg 3, sits in 3 triangles → cc = 2*3/(3*2) = 1
