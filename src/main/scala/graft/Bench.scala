@@ -20,22 +20,28 @@ import java.nio.file.{Files, Paths}
   * throws is reported in an "errors" map instead of masquerading as a
   * fast run.
   *
+  * Noise protocol (round-3 verdict "Missing #1"): the JSON carries EVERY
+  * pass — `cc_passes` for the headline, `query_passes` per query — next
+  * to the best-of point estimates, so a reader can classify a slow
+  * headline as regression (all passes slow) vs host noise (pass spread
+  * wide) from the artifact alone.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_BENCH_SCALE (vertices per shape, default
   * 400k → ~3.2M edges), SPARK_GRAFT_BENCH_STRATEGY (hook|star|sampled),
-  * SPARK_GRAFT_BENCH_REPS (headline repetitions, default 2),
+  * SPARK_GRAFT_BENCH_REPS (headline repetitions, default 3),
   * SPARK_GRAFT_BENCH_QREPS (interleaved per-query sweeps, default 2),
   * SPARK_GRAFT_BENCH_OUT (JSON output file, default BENCH/last_bench.json).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "400000").toLong
+    val cpus = Env.int("SPARK_GRAFT_CPUS", 32).toString
+    val scale = Env.long("SPARK_GRAFT_BENCH_SCALE", 400000L)
     val strategyName = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "hook")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = Env.int("SPARK_GRAFT_BENCH_REPS", 3)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH/last_bench.json")
+      "BENCH/last_bench.json") // relative to the working dir, not a hardcoded checkout path
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -74,12 +80,14 @@ object Bench {
     var ccSec = Double.MaxValue
     var res: ConnectedComponents.Result = null
     var components = 0L
+    val ccPasses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val keepSuite = org.apache.spark.sql.GraftLineage.plannedRddIds(suite)
     for (_ <- 1 to math.max(1, reps)) {
       val t0 = System.nanoTime()
       val r = ConnectedComponents.run(suite, None, Config(strategy = strategy))
       val comp = ConnectedComponents.componentCount(r.labels)
       val sec = (System.nanoTime() - t0) / 1e9
+      ccPasses += sec
       if (sec < ccSec) { ccSec = sec; res = r; components = comp }
       // sweep each rep's leftovers (final mapping, stragglers) but keep
       // the suite input — the next rep reads those checkpoint blocks
@@ -96,7 +104,7 @@ object Bench {
     // noise; min-of-interleaved-sweeps is the honest point estimate.
     // SPARK_GRAFT_BENCH_QUERIES=0 isolates the headline CC measurement.
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
-    val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREPS", "2").toInt
+    val qreps = Env.int("SPARK_GRAFT_BENCH_QREPS", 2)
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
@@ -119,6 +127,8 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val qPasses = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     for (_ <- 1 to math.max(1, qreps); name <- queryNames) {
       val q0 = System.nanoTime()
       val ok =
@@ -129,7 +139,10 @@ object Bench {
         }
       val sec = (System.nanoTime() - q0) / 1e9 // before the sweep: harness
       sweepBlocks()                            // cleanup isn't query time
-      if (ok && sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+      if (ok) {
+        qPasses.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += sec
+        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+      }
     }
     // a query is reported as a time only if at least one rep succeeded;
     // otherwise it lives in "errors" alone
@@ -139,18 +152,25 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val ccPassesJson = ccPasses.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val qPassesJson = qPasses.map { case (k, ps) =>
+      jstr(k) + ":" + ps.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"cc_edges_per_sec","value":${edgesPerSec.toLong},"unit":"edges/sec",""" +
       s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""cc_input_edges":$inputEdges,"cc_edges_processed":$edgesProcessed,""" +
-      s""""cc_seconds":${f"$ccSec%.3f"},"cc_supersteps":${res.metrics.size},""" +
+      s""""cc_seconds":${f"$ccSec%.3f"},"cc_passes":$ccPassesJson,""" +
+      s""""query_passes":$qPassesJson,"cc_supersteps":${res.metrics.size},""" +
       s""""cc_components":$components,"cc_strategy":"$strategyName",""" +
       s""""cc_reps":$reps,"parallelism":$cpus,"bench_scale":$scale}"""
     try {
       val p = Paths.get(outFile)
       if (p.getParent != null) Files.createDirectories(p.getParent)
       Files.writeString(p, json + "\n")
-    } catch { case _: Throwable => () } // file write is best-effort
+    } catch { case e: Throwable => // best-effort, but never silent
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
     println(json)
     spark.stop()
   }

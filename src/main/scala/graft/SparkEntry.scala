@@ -375,6 +375,10 @@ object SparkEntry {
        |$steps
        |SELECT id FROM (SELECT src AS id FROM e$iters
        |                UNION SELECT dst AS id FROM e$iters) x
+       |WHERE CASE WHEN (SELECT count(*) FROM e${iters - 1}) <>
+       |                (SELECT count(*) FROM e$iters)
+       |      THEN error('kcore oracle under-peeled at $iters steps: raise iters')
+       |      ELSE true END
        |ORDER BY id""".stripMargin
   }
 

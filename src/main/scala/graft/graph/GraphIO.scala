@@ -18,35 +18,52 @@ object GraphIO {
     */
   final case class TextGraph(vertexCount: Long, edgeCount: Long, edges: Dataset[Edge])
 
-  /** Read the reference text format. Lines are position-tagged so the
-    * header (the first non-empty line of the FILE) is identified without a
+  /** Read the reference text format. Lines are position-tagged so each
+    * file's header (its first non-empty line) is identified without a
     * driver-side file read — multi-split safe: `monotonically_increasing_id`
     * is only file-ordered WITHIN one split, so on a file Spark splits into
     * several partitions the globally-smallest id need not be the first
     * line. The header is instead anchored with the file-source `_metadata`
-    * column: it is the minimum-id row *among rows of the split starting at
-    * file offset 0* (rows of one split stay in file order inside their
-    * partition, and ids are monotone within a partition, so that minimum
-    * IS the file's first line regardless of how splits are packed).
-    */
+    * columns: PER FILE, it is the minimum-id row *among rows of the split
+    * starting at file offset 0* (rows of one split stay in file order
+    * inside their partition, and ids are monotone within a partition, so
+    * that minimum IS the file's first line regardless of how splits are
+    * packed).
+    *
+    * Glob/directory inputs are treated as SHARDS of one graph over a
+    * shared vertex-id space — every file carries its own `V E` header;
+    * the combined graph reports `V = max(V_file)` and `E = Σ E_file`.
+    * (A single-header anchor here would silently parse the other files'
+    * headers as edges.) The per-file header set is collected to the
+    * driver — one row per file, bounded by the file count, same shape as
+    * the reference's per-rank header read (`GraphInputIterator.hpp:27-33`
+    * on every rank). */
   def readTextGraph(spark: SparkSession, path: String): TextGraph = {
     import spark.implicits._
     val withPos = spark.read.text(path)
       .select(monotonically_increasing_id().as("pos"),
         (col("_metadata.file_block_start") === 0).as("first_block"),
+        col("_metadata.file_path").as("file"),
         trim(col("value")).as("line"))
       .filter(length(col("line")) > 0)
-      .select(col("pos"), col("first_block"), split(col("line"), "\\s+").as("toks"))
+      .select(col("pos"), col("first_block"), col("file"),
+        split(col("line"), "\\s+").as("toks"))
       .select(
-        col("pos"), col("first_block"),
+        col("pos"), col("first_block"), col("file"),
         element_at(col("toks"), 1).cast("long").as("a"),
         element_at(col("toks"), 2).cast("long").as("b"))
-    val header = withPos.filter(col("first_block"))
-      .orderBy(col("pos")).limit(1).collect()(0)
-    val (headerPos, vertexCount, edgeCount) =
-      (header.getLong(0), header.getLong(2), header.getLong(3))
+    // struct-min is lexicographic → min pos per file = that file's header
+    val headers = withPos.filter(col("first_block"))
+      .groupBy(col("file"))
+      .agg(min(struct(col("pos"), col("a"), col("b"))).as("h"))
+      .select(col("h.pos"), col("h.a"), col("h.b"))
+      .collect()
+    require(headers.nonEmpty, s"no header line found under $path")
+    val headerPositions = headers.map(_.getLong(0)).toSeq
+    val vertexCount = headers.map(_.getLong(1)).max
+    val edgeCount = headers.map(_.getLong(2)).sum
     val edges = withPos
-      .filter(!(col("first_block") && col("pos") === headerPos))
+      .filter(!col("pos").isInCollection(headerPositions)) // pos is globally unique
       .select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst")) // P1: self-loop drop on load
       .as[Edge]

@@ -89,8 +89,7 @@ object ConnectedComponents {
         * every parallelism measured (local[2/8/32]); size to
         * taskMemory / ~70 B on real executors
         * (env override: SPARK_GRAFT_PRECONTRACT_CAP). */
-      preContractCap: Int = sys.env.get("SPARK_GRAFT_PRECONTRACT_CAP")
-        .map(_.toInt).getOrElse(1000000),
+      preContractCap: Int = graft.Env.int("SPARK_GRAFT_PRECONTRACT_CAP", 1000000),
       /** Pointer-jump frontiers at or below this row count are resolved
         * via a broadcast probe of the lookup map + driver-side fixups
         * instead of a shuffle join: a 7-row tail frontier was paying a
@@ -98,6 +97,20 @@ object ConnectedComponents {
         * local[8] on the 16 M-edge suite; at 100 TB it would shuffle
         * terabytes to resolve a handful of stragglers). */
       smallFrontierRows: Long = 100000L,
+      /** Tail rounds at or below this edge count finish on the driver:
+        * collect the contracted edges, union-find them locally
+        * (reference analogue: master-local prefix CC,
+        * `SparseSampling.hpp:275-313` — the same bounded-collect shape
+        * as the sampled strategy), compose the mapping with ONE
+        * broadcast join. After round 0 the edge set typically shrinks
+        * 2-3 orders of magnitude, but a distributed tail round still
+        * costs the same ~6 constant-time driver jobs as a full round —
+        * the measured serial floor of the strong-scaling gate. Never
+        * applied to the FIRST round (the distributed path must do the
+        * heavy lifting; also keeps small-graph tests exercising the
+        * full machinery). 0 disables. Env: SPARK_GRAFT_CC_DRIVER_FINISH. */
+      driverFinishEdges: Long = graft.Env.long("SPARK_GRAFT_CC_DRIVER_FINISH",
+        2L * 1000 * 1000),
       /** Run the per-round contraction and mapping-composition jobs
         * concurrently (they share no dependency). Opt-in: on a single
         * memory-constrained JVM the two jobs contend for the same heap
@@ -132,14 +145,19 @@ object ConnectedComponents {
     val cleanedLazy = GraphIO.normalize(edges)
       .filter(col("src") =!= col("dst")).toDF()
     val p = spark.sessionState.conf.numShufflePartitions
-    val cleaned = (cfg.strategy match {
+    // The edge count is observed inside the SAME materialization job —
+    // the hook loop's entry count() was one more constant-time driver
+    // job per run (the strong-scaling serial floor is made of exactly
+    // such jobs).
+    val (cleaned, cleanedMetrics) = barrierObserved(cfg.strategy match {
       case CCStrategy.HookAndContract if cfg.preContract =>
         // (src, dst) — not src alone — so a single-hub star spreads
         // across partitions instead of forming one straggler task
         cleanedLazy.repartitionByRange(p, $"src", $"dst")
           .sortWithinPartitions($"src", $"dst")
       case _ => cleanedLazy
-    }).cutLineage()
+    }, count(lit(1)).as("n"))
+    val cleanedCount = Option(cleanedMetrics("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val verts = GraphIO.vertices(cleaned.as[Edge]).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
@@ -147,7 +165,9 @@ object ConnectedComponents {
 
     val cleanedDs = cleaned.as[Edge]
     val (labels, metrics) = cfg.strategy match {
-      case CCStrategy.HookAndContract    => hookAndContract(cleanedDs, mapping0, cfg, preRanged = true)
+      case CCStrategy.HookAndContract    =>
+        hookAndContract(cleanedDs, mapping0, cfg, preRanged = true,
+          initialCount = Some(cleanedCount))
       case CCStrategy.AlternatingStar    => alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
       case CCStrategy.RandomizedHook     => randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
@@ -188,7 +208,8 @@ object ConnectedComponents {
   // ---------------------------------------------------------------------
   private def hookAndContract(
       edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
-      startRound: Int = 0, preRanged: Boolean = false): (DataFrame, Seq[SuperstepMetrics]) = {
+      startRound: Int = 0, preRanged: Boolean = false,
+      initialCount: Option[Long] = None): (DataFrame, Seq[SuperstepMetrics]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
@@ -210,9 +231,39 @@ object ConnectedComponents {
       else edges0.toDF())
     var mapping = mapping0.cutLineage()
     var round = startRound
-    var edgeCount = edges.count()
+    var edgeCount = initialCount.getOrElse(edges.count())
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
+      // Driver tail finish (G8): collect the small contracted remainder,
+      // union-find it locally, compose the mapping in one broadcast
+      // join. A distributed tail round costs ~6 constant-time driver
+      // jobs for a vanishing amount of data; this costs two.
+      if (round > startRound && cfg.driverFinishEdges > 0 &&
+          edgeCount <= cfg.driverFinishEdges) {
+        val t0 = System.nanoTime()
+        val pairs = edges.select($"src", $"dst").as[(Long, Long)].collect()
+        val cc = UnionFind.components(pairs.iterator)
+        val mapRows = cc.iterator.filter { case (v, r) => v != r }.toSeq
+        val mapDf = broadcast(spark.createDataset(mapRows).toDF("old", "new"))
+        val newMapping = mapping.as("m")
+          .join(mapDf.as("f"), $"m.label" === $"f.old", "left")
+          .select($"m.id".as("id"), coalesce($"f.new", $"m.label").as("label"))
+        val prevMapping = mapping
+        mapping = newMapping.cutLineage()
+        prevMapping.releaseLineage(); edges.releaseLineage()
+        edges = spark.emptyDataset[Edge].toDF()
+        val stepMetric = SuperstepMetrics(cfg.runId, "cc-hook", round,
+          edgeCount, 0L, -1L, 0, (System.nanoTime() - t0) / 1000000)
+        metrics += stepMetric
+        ck.foreach(_.appendMetrics(Seq(stepMetric)))
+        if (cfg.verbose)
+          System.err.println(s"[cc-hook] round=$round driver-finish edgesIn=$edgeCount " +
+            s"ms=${(System.nanoTime() - t0) / 1000000}")
+        edgeCount = 0
+        round += 1
+        ck.foreach(_.save(round, Map("edges" -> edges, "mapping" -> mapping),
+          Map("algo" -> "cc-hook", "edgeCount" -> "0", "runId" -> cfg.runId)))
+      } else {
       val t0 = System.nanoTime()
       def ms: Long = (System.nanoTime() - t0) / 1000000
 
@@ -417,6 +468,7 @@ object ConnectedComponents {
             Map("algo" -> "cc-hook", "edgeCount" -> edgeCount.toString,
                 "runId" -> cfg.runId))
       }
+      } // end distributed round (vs driver tail finish)
     }
     require(edgeCount == 0,
       s"CC did not converge in ${cfg.maxRounds} rounds ($edgeCount edges left)")

@@ -31,8 +31,11 @@ final class CheckpointManager(spark: SparkSession, dir: String) {
       df.write.mode("overwrite").parquet(s"$dir/step=$step/$name")
     }
     val metaJson = (meta ++ Map("step" -> step.toString))
-      .map { case (k, v) => s""""${k}":"${v}"""" }.mkString("{", ",", "}")
-    val tablesJson = tables.keys.map(n => s""""$n":"$dir/step=$step/$n"""").mkString("{", ",", "}")
+      .map { case (k, v) => s"${graft.JsonEscape.quote(k)}:${graft.JsonEscape.quote(v)}" }
+      .mkString("{", ",", "}")
+    val tablesJson = tables.keys
+      .map(n => s"${graft.JsonEscape.quote(n)}:${graft.JsonEscape.quote(s"$dir/step=$step/$n")}")
+      .mkString("{", ",", "}")
     val manifest = s"""{"step":$step,"meta":$metaJson,"tables":$tablesJson}"""
     writeAtomic(s"$dir/manifest-$step.json", manifest)
     writeAtomic(s"$dir/_LATEST", step.toString)
@@ -71,13 +74,73 @@ final class CheckpointManager(spark: SparkSession, dir: String) {
     val p = new Path(s"$dir/manifest-$step.json")
     val in = fs.open(p)
     val s = try new String(readAll(in), StandardCharsets.UTF_8) finally in.close()
-    // minimal flat-JSON field extraction for the "meta" object
-    val metaPart = s.split("\"meta\":\\{", 2)(1).split("\\}", 2)(0)
-    metaPart.split(",").filter(_.contains(":")).map { kv =>
-      val Array(k, v) = kv.split(":", 2)
-      k.trim.stripPrefix("\"").stripSuffix("\"") ->
-        v.trim.stripPrefix("\"").stripSuffix("\"")
-    }.toMap
+    val start = s.indexOf("\"meta\":{")
+    require(start >= 0, s"manifest $p has no meta object")
+    parseFlatStringObject(s, start + "\"meta\":".length)
+  }
+
+  /** Parse the flat `{"k":"v",...}` object starting at `from` (which must
+    * point at the '{'), honoring string escapes — a value containing
+    * `,`, `}` or an escaped quote round-trips correctly (the round-3
+    * string-split parser silently mis-parsed those). Values here are
+    * always strings; anything else fails loudly. */
+  private def parseFlatStringObject(s: String, from: Int): Map[String, String] = {
+    var i = from
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"manifest meta parse: $msg at offset $i")
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def parseString(): String = {
+      if (s(i) != '"') fail("expected '\"'")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case '"'  => sb += '"'
+            case '\\' => sb += '\\'
+            case '/'  => sb += '/'
+            case 'n'  => sb += '\n'
+            case 'r'  => sb += '\r'
+            case 't'  => sb += '\t'
+            case 'b'  => sb += '\b'
+            case 'f'  => sb += '\f'
+            case 'u'  =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => fail(s"unsupported escape '\\$other'")
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      if (i >= s.length) fail("unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+    skipWs()
+    if (s(i) != '{') fail("expected '{'")
+    i += 1
+    val out = Map.newBuilder[String, String]
+    skipWs()
+    if (i < s.length && s(i) == '}') return out.result()
+    var done = false
+    while (!done) {
+      skipWs()
+      val k = parseString()
+      skipWs()
+      if (s(i) != ':') fail("expected ':'")
+      i += 1
+      skipWs()
+      val v = parseString()
+      out += k -> v
+      skipWs()
+      s(i) match {
+        case ',' => i += 1
+        case '}' => done = true
+        case _   => fail("expected ',' or '}'")
+      }
+    }
+    out.result()
   }
 
   private def readAll(in: java.io.InputStream): Array[Byte] = {

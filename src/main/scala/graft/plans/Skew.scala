@@ -90,30 +90,32 @@ object Skew {
     val obs = org.apache.spark.sql.Observation()
     val ranked = df.withColumn("_rn", row_number().over(w))
       .observe(obs, sum(when(col("_rn") > maxSize, 1L).otherwise(0L)).as("dropped"))
-    // A daemon thread polls for the observed metric so the (lazy) caller
-    // is never blocked; the DEADLINE bounds the leak for plans that are
-    // constructed but never executed (explain tooling, speculative query
-    // building) — the thread exits after 30 min instead of parking
-    // forever. (The Observation's listener itself stays registered until
-    // first execution — one small object per abandoned plan.)
-    val waiter = new Thread(() => {
-      import org.apache.spark.sql.GraftLineage.observedOrEmpty
-      val deadline = System.currentTimeMillis() + 30L * 60 * 1000
-      var m = observedOrEmpty(obs)
-      while (m.isEmpty && System.currentTimeMillis() < deadline) {
-        Thread.sleep(2000)
-        m = observedOrEmpty(obs)
-      }
-      val dropped = m.get("dropped").flatMap(Option(_)) match {
-        case Some(l: java.lang.Long) => l.longValue()
-        case _                       => 0L
-      }
-      if (dropped > 0)
-        System.err.println(s"[skew] capGroups dropped $dropped rows past cap=$maxSize " +
-          "(near-dup candidates lost; run exact dedup upstream if this is large)")
-    }, "capGroups-drop-count")
-    waiter.setDaemon(true)
-    waiter.start()
+    // The drop signal fires via a callback on the Observation's future —
+    // no thread, no polling (the round-3 poller thread died on its first
+    // poll: `Observation.getOrEmpty` NPEs pre-completion on this Spark
+    // build — and a thread-per-call design leaked threads for plans that
+    // are built but never executed). The future completes exactly when
+    // the observed plan's first action finishes; for never-executed plans
+    // nothing ever fires and the only residue is the Observation's own
+    // registered listener. Metric extraction is defensive: a surprise
+    // row shape logs a warning instead of silently dropping the signal.
+    obs.future.onComplete {
+      case scala.util.Success(row) =>
+        try {
+          val dropped = row.getAs[Any]("dropped") match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case _ => 0L
+          }
+          if (dropped > 0)
+            System.err.println(s"[skew] capGroups dropped $dropped rows past cap=$maxSize " +
+              "(near-dup candidates lost; run exact dedup upstream if this is large)")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[skew] capGroups drop-count metric unreadable: $e")
+        }
+      case scala.util.Failure(_) => () // observed query itself failed — caller sees it
+    }(scala.concurrent.ExecutionContext.global)
     ranked.filter(col("_rn") <= maxSize).drop("_rn")
   }
 

@@ -41,21 +41,43 @@ object GraftLineage {
 
   /** Eagerly materialize `df`, truncating RDD lineage, logical plan AND
     * statistics lineage. The returned frame's plan wraps the actual
-    * checkpointed RDD so [[release]] can free its blocks later. */
+    * checkpointed RDD so [[release]] can free its blocks later.
+    *
+    * Physical properties are PRESERVED: the rewrapped `LogicalRDD` keeps
+    * the checkpointed plan's `outputPartitioning` and `outputOrdering`
+    * (exactly what plain `localCheckpoint` keeps) and drops only the
+    * origin statistics/constraints — the part whose size estimates
+    * explode in iterative self-joins. Rewrapping via
+    * `internalCreateDataFrame` instead (as earlier rounds did) builds a
+    * `LogicalRDD` with `UnknownPartitioning`, so a "partition once, join
+    * every iteration" loop silently re-shuffles its barrier'd table on
+    * EVERY iteration — a full edge-table shuffle × ~100 iterations of
+    * waste for converged PageRank at the 100 TB scale. */
   def barrier(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val spark = cp.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // The checkpointed RDD (the one holding the storage blocks) sits in
-    // cp's LogicalRDD; rewrap THAT rdd, not a derived toRdd, so release()
+    // cp's LogicalRDD; rewrap THAT node, not a derived toRdd, so release()
     // on the new frame reaches the real blocks.
-    val rdd = cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
-      .getOrElse(cp.queryExecution.toRdd)
-    scopeStack.get() match {
-      case head :: _ => head += rdd.id
-      case Nil       => ()
+    cp.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        scopeStack.get() match {
+          case head :: _ => head += l.rdd.id
+          case Nil       => ()
+        }
+        // Same output attrs/rdd/partitioning/ordering; fresh default
+        // stats (conf.defaultSizeInBytes) and no inherited constraints.
+        val fresh = l.copy()(spark, originStats = None, originConstraints = None)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, fresh)
+      case _ => // defensive fallback: unknown checkpoint plan shape
+        val rdd = cp.queryExecution.toRdd
+        scopeStack.get() match {
+          case head :: _ => head += rdd.id
+          case Nil       => ()
+        }
+        spark.internalCreateDataFrame(rdd, cp.schema, isStreaming = false)
     }
-    spark.internalCreateDataFrame(rdd, cp.schema, isStreaming = false)
   }
 
   /** Free the storage blocks of every barrier'd/checkpointed RDD in this
@@ -109,11 +131,20 @@ object GraftLineage {
   }
 
   /** Non-blocking read of an [[Observation]]'s metrics (empty until the
-    * observed plan's first action completes). `Observation.getOrEmpty`
-    * is `private[sql]`; this package-located accessor lets pollers
-    * (e.g. the capGroups drop-count waiter) check without parking on
-    * the blocking `get`. */
-  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+    * observed plan's first action completes). Built on the public
+    * `getRowOrEmpty` — NOT on `getOrEmpty`, which on this Spark build
+    * maps its empty-fallback `Row` (schema = null) through
+    * `row.schema.fieldNames` and throws NPE on every pre-completion
+    * poll (it killed the round-3 capGroups waiter thread on first
+    * touch). Defensive on the completed row too: a schema-less metrics
+    * row yields empty rather than a crash. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getRowOrEmpty match {
+      case Some(row) if row.schema != null =>
+        row.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> row.get(i) }.toMap
+      case _ => Map.empty
+    }
 
   /** [[barrier]] that also evaluates aggregate metrics over the rows in
     * the SAME materialization job (Dataset.observe) — saves the separate

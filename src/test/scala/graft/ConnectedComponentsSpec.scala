@@ -73,6 +73,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("text reader anchors the header per file: directory of shards reads as one graph") {
+    // ADVICE r3: with a directory input, every file's offset-0 split has
+    // first_block=true; a single global header anchor would keep one
+    // header and parse the other files' header lines as edges. Shards
+    // share the id space: V = max(V_file), E = Σ E_file.
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+    val whole = GraphIO.readTextGraph(spark, resourcePath("graphs/medium1.txt"))
+    val all = whole.edges.collect().map(e => (e.src, e.dst)).sorted
+    val (shardA, shardB) = all.splitAt(all.length / 2)
+    def write(name: String, edges: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"${whole.vertexCount} ${edges.length}\n" +
+          edges.map { case (u, v) => s"$u $v" }.mkString("\n") + "\n")
+    write("part-0.txt", shardA.toSeq)
+    write("part-1.txt", shardB.toSeq)
+    val sharded = GraphIO.readTextGraph(spark, dir.toString)
+    sharded.vertexCount shouldBe whole.vertexCount
+    sharded.edgeCount shouldBe all.length.toLong
+    sharded.edges.collect().map(e => (e.src, e.dst)).sorted shouldBe all
+  }
+
   test("sparse_graph.txt (10k vertices): exact labels + component count, all strategies") {
     val g = GraphIO.readTextGraph(spark, resourcePath("graphs/sparse_graph.txt"))
     val edges = g.edges.collect().map(e => (e.src, e.dst)).toSeq

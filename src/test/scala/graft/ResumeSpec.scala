@@ -97,4 +97,18 @@ class ResumeSpec extends SparkSpec {
     ck.meta(7)("edgeCount") shouldBe "42"
     ck.load(7, "t").count() shouldBe 3L
   }
+
+  test("manifest metadata round-trips values with commas, braces and quotes") {
+    // round-3 verdict nit: the old string-split parser silently
+    // mis-parsed any value containing ',' or '}'
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    val ck = new CheckpointManager(spark, dir)
+    val df = spark.range(2).toDF("id")
+    val tricky = Map(
+      "algo" -> "cc-hook",
+      "runId" -> "run,with{tricky}:\"chars\"",
+      "note" -> "a,b},{\"c\":1}\t\\end")
+    ck.save(3, Map("edges" -> df), tricky)
+    ck.meta(3) shouldBe (tricky + ("step" -> "3"))
+  }
 }
