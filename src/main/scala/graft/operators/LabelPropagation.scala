@@ -35,7 +35,15 @@ object LabelPropagation {
     import spark.implicits._
 
     val canon = GraphIO.canonical(edges)
-    val bidir = GraphIO.bidirectional(canon).toDF().cutLineage()
+    // Hash-partition the bidirectional adjacency by src ONCE — the
+    // per-iteration labels join then reuses this partitioning (zero
+    // exchanges at the join; the barrier preserves outputPartitioning).
+    // Without the explicit repartition the barrier'd table keeps the
+    // upstream distinct's (src,dst) partitioning, which does NOT satisfy
+    // the join's src clustering — one full edge shuffle per iteration.
+    val p = spark.sessionState.conf.numShufflePartitions
+    val bidir = GraphIO.bidirectional(canon).toDF()
+      .repartition(p, $"src").cutLineage()
     val verts = GraphIO.vertices(canon).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()

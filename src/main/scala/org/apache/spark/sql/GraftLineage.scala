@@ -39,6 +39,25 @@ object GraftLineage {
     override def initialValue(): List[scala.collection.mutable.Set[Int]] = Nil
   }
 
+  /** `PartitioningCollection` can't survive on a leaf whose join
+    * siblings are gone — keep its first (primary) partitioning, exactly
+    * like Spark's own `LogicalRDD.fromDataset`. */
+  @annotation.tailrec
+  private def firstLeafPartitioning(
+      p: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning = p match {
+    case c: org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection =>
+      firstLeafPartitioning(c.partitionings.head)
+    case other => other
+  }
+
+  /** Measurement knob: SPARK_GRAFT_BARRIER_LEGACY=1 restores the
+    * round-3 rewrap (UnknownPartitioning) so the cost of the silent
+    * per-iteration re-shuffle can be A/B'd inside one JVM. Mutable so a
+    * single-process A/B harness can flip it between passes. */
+  @volatile var legacyRewrap: Boolean =
+    sys.env.get("SPARK_GRAFT_BARRIER_LEGACY").contains("1")
+
   /** Eagerly materialize `df`, truncating RDD lineage, logical plan AND
     * statistics lineage. The returned frame's plan wraps the actual
     * checkpointed RDD so [[release]] can free its blocks later.
@@ -61,14 +80,43 @@ object GraftLineage {
     // cp's LogicalRDD; rewrap THAT node, not a derived toRdd, so release()
     // on the new frame reaches the real blocks.
     cp.queryExecution.analyzed match {
-      case l: LogicalRDD =>
+      case l: LogicalRDD if !legacyRewrap =>
         scopeStack.get() match {
           case head :: _ => head += l.rdd.id
           case Nil       => ()
         }
-        // Same output attrs/rdd/partitioning/ordering; fresh default
-        // stats (conf.defaultSizeInBytes) and no inherited constraints.
-        val fresh = l.copy()(spark, originStats = None, originConstraints = None)
+        // Under AQE the checkpoint's own LogicalRDD captured
+        // UnknownPartitioning: `AdaptiveSparkPlanExec` is a LEAF node
+        // that never exposes its final plan's properties, and
+        // `LogicalRDD.fromDataset` reads `executedPlan.outputPartitioning`
+        // off that leaf. The checkpoint action has already finalized the
+        // adaptive plan, so recover the REAL partitioning/ordering from
+        // `a.executedPlan` — the physical plan whose output rows the
+        // checkpointed RDD holds verbatim.
+        val (part0, order0) = (l.outputPartitioning, l.outputOrdering) match {
+          case (_: org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning, _) =>
+            val dfC = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+            dfC.queryExecution.executedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                val fp = a.executedPlan
+                (firstLeafPartitioning(fp.outputPartitioning), fp.outputOrdering)
+              case _ => (l.outputPartitioning, l.outputOrdering)
+            }
+          case other => other
+        }
+        // Claims must be expressed over the rewrapped output attributes
+        // (same exprIds as the physical plan's); drop anything that isn't.
+        val outSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output)
+        val part = part0 match {
+          case e: org.apache.spark.sql.catalyst.expressions.Expression
+              if !e.references.subsetOf(outSet) => l.outputPartitioning
+          case p => p
+        }
+        val order = order0.takeWhile(_.references.subsetOf(outSet))
+        // Same output attrs/rdd; recovered partitioning/ordering; fresh
+        // default stats (conf.defaultSizeInBytes), no inherited constraints.
+        val fresh = l.copy(outputPartitioning = part, outputOrdering = order)(
+          spark, originStats = None, originConstraints = None)
         org.apache.spark.sql.classic.Dataset.ofRows(spark, fresh)
       case _ => // defensive fallback: unknown checkpoint plan shape
         val rdd = cp.queryExecution.toRdd
