@@ -106,7 +106,7 @@ object Bench {
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
     val qreps = Env.int("SPARK_GRAFT_BENCH_QREPS", 2)
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
-      "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "lpa",
+      "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "kcore3", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",

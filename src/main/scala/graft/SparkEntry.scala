@@ -110,6 +110,17 @@ object SparkEntry {
           cfg = graft.operators.PageRank.Config(maxIter = prIters, tol = 0.0))
         .ranks.select(col("id"), round(col("rank"), 7).as("rank"))
         .orderBy("id")),
+    // personalized PageRank: restart uniform over the low-id source set,
+    // same pinned-iteration protocol as `pagerank` (tol=0, 7 dp round)
+    "ppr" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val sources = GraphIO.vertices(GraphIO.canonical(edges))
+        .filter(col("id") <= pprSourceMax)
+      graft.operators.PageRank.personalized(edges, sources,
+          cfg = graft.operators.PageRank.Config(maxIter = prIters, tol = 0.0))
+        .ranks.select(col("id"), round(col("rank"), 7).as("rank"))
+        .orderBy("id")
+    }),
     // deterministic synchronous label propagation (ties → min label),
     // integer fixpoint → exactly reproducible by an unrolled-CTE oracle
     // at the same iteration cap (early convergence is a fixpoint, so
@@ -294,6 +305,9 @@ object SparkEntry {
   /** Pinned iteration counts for the oracle-gated iterative queries. */
   private val prIters = 12
   private val lpaIters = 20
+  /** ppr restart set = vertices with id ≤ this (same predicate in the
+    * Spark query and the oracle SQL, so S∩V agrees by construction). */
+  private val pprSourceMax = 10L
   private val textFixturePath = "/root/repo/src/test/resources/graphs/medium1.txt"
 
   // Shared SQL fragments for the DuckDB oracle (same parquet tables).
@@ -335,7 +349,7 @@ object SparkEntry {
   private def pagerankOracleSql(edgesSql: String, iters: Int, d: Double): String = {
     val steps = (1 to iters).map { t =>
       s"""r$t AS (SELECT v.id,
-         |  (CAST(1.0 AS DOUBLE) - $d)/(SELECT n FROM nn) + $d * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
+         |  (CAST(1.0 AS DOUBLE) - $d) * (CAST(1.0 AS DOUBLE)/(SELECT n FROM nn)) + $d * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
          |  FROM v LEFT JOIN (
          |    SELECT w.dst AS id, sum(w.w * r.rank) AS c
          |    FROM w JOIN r${t - 1} r ON w.src = r.id GROUP BY w.dst) s USING (id))"""
@@ -349,6 +363,36 @@ object SparkEntry {
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |nn AS (SELECT count(*) AS n FROM v),
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM v),
+       |$steps
+       |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
+  }
+
+  /** Personalized PageRank (restart uniform over sources `id <= srcMax`,
+    * dangling mass → sources): same unrolled-CTE shape as
+    * [[pagerankOracleSql]] with a per-vertex restart weight `rw`. The
+    * nation co-occurrence graph has no dangling vertices, so the
+    * engine's `danglingMass·rw` term is exactly 0.0 and the oracle
+    * omits it. */
+  private def pprOracleSql(edgesSql: String, iters: Int, d: Double, srcMax: Long): String = {
+    val steps = (1 to iters).map { t =>
+      s"""r$t AS (SELECT v.id,
+         |  (CAST(1.0 AS DOUBLE) - $d) * rw.rw + $d * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM v JOIN rw USING (id) LEFT JOIN (
+         |    SELECT w.dst AS id, sum(w.w * r.rank) AS c
+         |    FROM w JOIN r${t - 1} r ON w.src = r.id GROUP BY w.dst) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |deg AS (SELECT src, count(*) AS od FROM bidir GROUP BY src),
+       |w AS (SELECT b.src, b.dst, CAST(1.0 AS DOUBLE)/d.od AS w
+       |      FROM bidir b JOIN deg d USING (src)),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |ns AS (SELECT count(*) AS n FROM v WHERE id <= $srcMax),
+       |rw AS (SELECT id, CASE WHEN id <= $srcMax
+       |         THEN CAST(1.0 AS DOUBLE)/(SELECT n FROM ns)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS rw FROM v),
+       |r0 AS (SELECT id, rw AS rank FROM rw),
        |$steps
        |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
@@ -405,6 +449,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "pagerank" -> pagerankOracleSql(nationEdgesSql, prIters, 0.85),
+    "ppr" -> pprOracleSql(nationEdgesSql, prIters, 0.85, pprSourceMax),
     "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -95,8 +95,10 @@ object ConnectedComponents {
         * instead of a shuffle join: a 7-row tail frontier was paying a
         * full shuffle of the multi-million-row label map (~3 s/jump at
         * local[8] on the 16 M-edge suite; at 100 TB it would shuffle
-        * terabytes to resolve a handful of stragglers). */
-      smallFrontierRows: Long = 100000L,
+        * terabytes to resolve a handful of stragglers). 500k rows ≈
+        * 16 MB collected — the same driver-memory class as the sampled
+        * strategy's bounded collect. */
+      smallFrontierRows: Long = 500000L,
       /** Tail rounds at or below this edge count finish on the driver:
         * collect the contracted edges, union-find them locally
         * (reference analogue: master-local prefix CC,
@@ -229,7 +231,13 @@ object ConnectedComponents {
           .sortWithinPartitions($"src", $"dst") // CSR layout: chunks see contiguous segments
           .cutLineage()
       else edges0.toDF())
-    var mapping = mapping0.cutLineage()
+    // mapping0 is LAZY on purpose: for a fresh run it is the identity
+    // over the vertex set (a distinct over the cleaned edges) and its
+    // only round-0 consumer is the composition join — computing it
+    // inside that job saves one driver job + one materialization per
+    // run (the strong-scaling serial floor is made of exactly such
+    // jobs). Every subsequent `mapping` IS barrier'd in the loop.
+    var mapping = mapping0
     var round = startRound
     var edgeCount = initialCount.getOrElse(edges.count())
 
@@ -472,6 +480,10 @@ object ConnectedComponents {
     }
     require(edgeCount == 0,
       s"CC did not converge in ${cfg.maxRounds} rounds ($edgeCount edges left)")
+    // If the loop never ran (edge-free input) the mapping is still the
+    // LAZY identity over the caller's input barrier, which run() releases
+    // before the result is consumed — materialize it now.
+    if (round == startRound) mapping = mapping.cutLineage()
     (mapping, metrics.toSeq)
   }
 

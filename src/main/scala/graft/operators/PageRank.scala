@@ -41,7 +41,24 @@ object PageRank {
 
   def run(edges: Dataset[Edge],
           extraVertices: Option[Dataset[Long]] = None,
-          cfg: Config = Config()): Result = {
+          cfg: Config = Config()): Result =
+    runWeighted(edges, extraVertices, None, cfg)
+
+  /** Personalized PageRank: the restart (teleport) distribution is
+    * uniform over `sources ∩ V` instead of over all of V, and dangling
+    * mass redistributes to the sources — the standard random-walk-with-
+    * restart ranking used for seed-relative link relevance. Same
+    * iteration machinery and plan shape as [[run]]. */
+  def personalized(edges: Dataset[Edge],
+                   sources: Dataset[Long],
+                   extraVertices: Option[Dataset[Long]] = None,
+                   cfg: Config = Config()): Result =
+    runWeighted(edges, extraVertices, Some(sources), cfg)
+
+  private def runWeighted(edges: Dataset[Edge],
+                          extraVertices: Option[Dataset[Long]],
+                          restart: Option[Dataset[Long]],
+                          cfg: Config): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -54,6 +71,19 @@ object PageRank {
     val n = verts.count()
     if (n == 0) // empty graph → empty rank table (not an error)
       return Result(verts.select($"id", lit(0.0).as("rank")), 0, 0.0)
+
+    // Restart weight rw(v): 1/n uniform, or 1/|S∩V| over the sources.
+    // rank_{t+1} = (1-d)·rw + d·(Σ_in w·rank_t + danglingMass·rw).
+    val vertsRw = restart match {
+      case None => verts.select($"id", lit(1.0 / n).as("rw"))
+      case Some(src) =>
+        val sDf = src.toDF("sid").distinct()
+        val nS = verts.join(sDf, $"id" === $"sid", "left_semi").count()
+        require(nS > 0, "personalized PageRank: no source vertex is in the graph")
+        verts.join(broadcast(sDf), $"id" === $"sid", "left")
+          .select($"id",
+            when($"sid".isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("rw"))
+    }
 
     // Weighted adjacency: one row per directed edge with 1/outdeg(src),
     // hash-partitioned by src ONCE — the per-iteration join then reuses
@@ -69,22 +99,22 @@ object PageRank {
     // Dangling = vertices with no out-edges (isolated ones here). A flag
     // column on the rank table; dangling mass for iteration t+1 is
     // observed during iteration t's rank materialization — no extra job.
-    val vertsFlagged = verts.as("v")
+    val vertsFlagged = vertsRw.as("v")
       .join(outDeg.select($"src".as("id")).distinct().as("o"), Seq("id"), "left_anti")
-      .select($"id", lit(true).as("dangling"))
-      .union(verts.as("v").join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
-        .select($"id", lit(false).as("dangling")))
+      .select($"id", $"rw", lit(true).as("dangling"))
+      .union(vertsRw.as("v")
+        .join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
+        .select($"id", $"rw", lit(false).as("dangling")))
 
     val (ranks0, m0) = barrierObserved(
       vertsFlagged
-        .select($"id", lit(1.0 / n).as("rank"), $"dangling")
+        .select($"id", $"rw".as("rank"), $"rw", $"dangling")
         .repartition(p, $"id"),
       coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
     var ranks = ranks0
     var danglingMass = m0("dmass").asInstanceOf[Double]
     var iter = 0
     var delta = Double.MaxValue
-    val base = (1.0 - cfg.damping) / n
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
       val contribs = wEdges.as("e")
@@ -93,22 +123,23 @@ object PageRank {
         .agg(sum($"e.w" * $"r.rank").as("contrib"))
 
       // ranks is the full vertex set → left join carries every vertex,
-      // the old rank (for the delta) and the dangling flag in one pass.
-      // ONE job: materialize the new ranks while observing the L1 delta
-      // and the next iteration's dangling mass.
+      // the old rank (for the delta), the restart weight and the
+      // dangling flag in one pass. ONE job: materialize the new ranks
+      // while observing the L1 delta and the next iteration's dangling
+      // mass.
       val joined = ranks.as("r")
         .join(contribs.as("c"), Seq("id"), "left")
         .select($"id",
-          (lit(base) + lit(cfg.damping) *
-            (coalesce($"contrib", lit(0.0)) + lit(danglingMass / n))).as("rank"),
-          $"r.rank".as("prev"), $"dangling")
+          (lit(1.0 - cfg.damping) * $"rw" + lit(cfg.damping) *
+            (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * $"rw")).as("rank"),
+          $"r.rank".as("prev"), $"rw", $"dangling")
       val (next, m) = barrierObserved(joined,
         coalesce(sum(abs($"rank" - $"prev")), lit(0.0)).as("delta"),
         coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
       delta = m("delta").asInstanceOf[Double]
       danglingMass = m("dmass").asInstanceOf[Double]
       GraftLineage.release(ranks)
-      ranks = next.select($"id", $"rank", $"dangling")
+      ranks = next.select($"id", $"rank", $"rw", $"dangling")
       iter += 1
     }
     GraftLineage.release(wEdges); GraftLineage.release(verts)

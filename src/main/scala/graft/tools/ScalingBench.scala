@@ -52,6 +52,13 @@ object ScalingBench {
     /** Weak mode scales the input with the thread count. */
     def scaleFor(n: Int): Long =
       if (mode == "weak") scale * n / nLo0 else scale
+    /** Weak mode also scales shuffle partitions with the data — per-
+      * partition volume stays constant, exactly as adding executors to a
+      * cluster adds partitions. Fixed partitions at 4× the rows would
+      * quadruple per-task hash-relation/sort sizes and OOM a config that
+      * is NOT actually short of aggregate memory per row. */
+    def partitionsFor(n: Int): Int =
+      if (mode == "weak") (n.toLong * n / nLo0).toInt else n
 
     val times = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(Double.MaxValue)
@@ -67,7 +74,7 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(s"local[$n]")
         .appName(s"graft-scaling-$n")
-        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.shuffle.partitions", partitionsFor(n))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -117,6 +117,63 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  /** Dense PPR oracle: restart uniform over `sources`, dangling mass to
+    * the sources. */
+  private def pprOracle(edges: Seq[(Long, Long)], vertices: Seq[Long],
+                        sources: Set[Long], damping: Double = 0.85,
+                        iters: Int = 300): Map[Long, Double] = {
+    val ids = (vertices ++ edges.flatMap(e => Seq(e._1, e._2))).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.size
+    val s = ids.filter(sources.contains)
+    val rw = ids.map(id => if (sources.contains(id)) 1.0 / s.size else 0.0).toArray
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = Array.fill(n)(List.empty[Int])
+    canon.foreach { case (u, v) =>
+      adj(idx(u)) = idx(v) :: adj(idx(u))
+      adj(idx(v)) = idx(u) :: adj(idx(v))
+    }
+    val outDeg = adj.map(_.size)
+    var r = rw.clone()
+    for (_ <- 0 until iters) {
+      val nxt = Array.tabulate(n)(i => (1.0 - damping) * rw(i))
+      var dangling = 0.0
+      for (i <- 0 until n) {
+        if (outDeg(i) == 0) dangling += r(i)
+        else adj(i).foreach(j => nxt(j) += damping * r(i) / outDeg(i))
+      }
+      for (i <- 0 until n) nxt(i) += damping * dangling * rw(i)
+      r = nxt
+    }
+    ids.zip(r).toMap
+  }
+
+  test("personalized: restart mass concentrates at sources, allclose vs dense PPR oracle") {
+    val edges = (0L until 19L).map(i => (i, i + 1)) ++ Seq((5L, 15L))
+    val sources = Set(3L, 4L)
+    val ds = spark.createDataset(edges.map { case (u, v) => Edge(u, v) })
+    val src = spark.createDataset(sources.toSeq)
+    val got = PageRank.personalized(ds, src).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allclose(got, pprOracle(edges, Nil, sources))
+    math.abs(got.values.sum - 1.0) should be < 1e-9
+    got(3L) should be > got(12L) // near the restart set beats far from it
+  }
+
+  test("personalized: dangling mass returns to the sources") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2))
+    val verts = Seq(0L, 1L, 2L, 99L) // 99 isolated → dangling
+    val sources = Set(0L)
+    val ds = spark.createDataset(edges.map { case (u, v) => Edge(u, v) })
+    val got = PageRank.personalized(ds, spark.createDataset(sources.toSeq),
+        Some(spark.createDataset(verts))).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allclose(got, pprOracle(edges, verts, sources))
+    math.abs(got.values.sum - 1.0) should be < 1e-9
+    got(99L) shouldBe 0.0 +- 1e-12 // unreachable from sources, no restart
+  }
+
   test("ranks sum to 1 on a multi-component graph") {
     val edges = Seq[(Long, Long)]((0, 1), (2, 3), (3, 4), (2, 4))
     val got = sparkPR(edges, Nil)
