@@ -110,7 +110,7 @@ object Bench {
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "kcore3", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
-      "dedup_near_pairs", "ann_topk", "ann_topk_lsh", "text_stats",
+      "dedup_near_pairs", "dedup_clusters", "ann_topk", "ann_topk_lsh", "text_stats",
       "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")

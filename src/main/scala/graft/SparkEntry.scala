@@ -235,6 +235,22 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    // duplicate CLUSTERS: connected components over the near-dup pair
+    // graph — the step a production dedup pipeline actually ends with
+    // (pick one survivor per cluster, not per pair; pairs alone
+    // under-merge transitive near-dups A~B~C). Composition of two
+    // hard-gated operators, itself gated by a recursive-CTE
+    // reachability oracle over the exact all-pairs ground truth.
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.functions.Dedup.nearDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.8)
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .as[graft.graph.Edge]
+      ConnectedComponents.run(edges).labels.toDF().orderBy("id")
+    }),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
       graft.functions.Dedup.exactGroups(
@@ -734,6 +750,35 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // duplicate clusters: reachability closure over the SAME exact
+    // all-pairs edge set, canonical max-id labels (engine CC semantics)
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |        THEN CAST(1.0 AS DOUBLE)
+        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
+        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM bidir
+        |  UNION
+        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
+        |)
+        |SELECT id, CAST(max(lbl) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // (id, band) skeleton of the banded signatures — bucket values are
     // xxhash64-bound (no DuckDB equivalent); see the query comment
     "dedup_minhash_bands" ->
