@@ -108,9 +108,11 @@ object Bench {
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
+      "adamic_adar", "assortativity",
       "kcore3", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
-      "dedup_near_pairs", "dedup_clusters", "ann_topk", "ann_topk_lsh", "text_stats",
+      "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
+      "ann_topk", "ann_topk_lsh", "text_stats",
       "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")

@@ -85,6 +85,16 @@ object SparkEntry {
     "common_neighbors" -> ((s, dir) =>
       TriangleCount.commonNeighborsPerEdge(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("src", "dst")),
+    // Adamic-Adar link-prediction score per edge (rarity-weighted
+    // common neighbors, 6 dp)
+    "adamic_adar" -> ((s, dir) =>
+      TriangleCount.adamicAdar(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("src", "dst")),
+    // degree assortativity (Pearson r of endpoint degrees; exact
+    // integer moments + one closed-form double, 6 dp)
+    "assortativity" -> ((s, dir) =>
+      GraphMetrics.degreeAssortativity(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
@@ -250,6 +260,22 @@ object SparkEntry {
         .select(col("id_a").as("src"), col("id_b").as("dst"))
         .as[graft.graph.Edge]
       ConnectedComponents.run(edges).labels.toDF().orderBy("id")
+    }),
+    // survivor selection: one canonical (max-id) survivor per near-dup
+    // cluster, everything unclustered kept — the deduplicated corpus
+    // (the anti-join a training-data pipeline actually materializes)
+    "dedup_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.functions.Dedup.nearDuplicates(
+        docs, "doc_id", "text", threshold = 0.8)
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .as[graft.graph.Edge]
+      val labels = ConnectedComponents.run(edges).labels.toDF()
+      val losers = labels.filter(col("id") =!= col("label")).select(col("id"))
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
     }),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
@@ -750,6 +776,72 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM pairs
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // Adamic-Adar: common neighbors of each edge weighted 1/ln(deg)
+    "adamic_adar" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
+         |cn AS (SELECT e.src, e.dst, n1.dst AS w
+         |       FROM e JOIN bidir n1 ON n1.src = e.src
+         |              JOIN bidir n2 ON n2.src = e.dst AND n2.dst = n1.dst),
+         |aa AS (SELECT cn.src, cn.dst,
+         |         round(sum(CAST(1.0 AS DOUBLE)/ln(d.dg)), 6) AS adamic_adar
+         |       FROM cn JOIN deg d ON cn.w = d.id GROUP BY cn.src, cn.dst)
+         |SELECT e.src, e.dst,
+         |  coalesce(aa.adamic_adar, CAST(0.0 AS DOUBLE)) AS adamic_adar
+         |FROM e LEFT JOIN aa ON e.src = aa.src AND e.dst = aa.dst
+         |ORDER BY e.src, e.dst""".stripMargin,
+    // assortativity: exact integer moment sums + one closed-form double
+    // (identical arithmetic to the engine — no streaming corr())
+    "assortativity" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
+         |p AS (SELECT CAST(d1.dg AS BIGINT) AS x, CAST(d2.dg AS BIGINT) AS y
+         |      FROM bidir b JOIN deg d1 ON b.src = d1.id
+         |                   JOIN deg d2 ON b.dst = d2.id),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x*y) AS BIGINT) AS sxy,
+         |             CAST(sum(x*x) AS BIGINT) AS sxx,
+         |             CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+         |SELECT CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0
+         |       THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+         |            (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+         |             sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)
+         |       END AS assortativity
+         |FROM s""".stripMargin,
+    // survivors: drop every non-max member of a reachability cluster
+    "dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |        THEN CAST(1.0 AS DOUBLE)
+        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
+        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM bidir
+        |  UNION
+        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
+        |),
+        |clusters AS (SELECT id, max(lbl) AS label FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
+        |ORDER BY doc_id""".stripMargin,
     // duplicate clusters: reachability closure over the SAME exact
     // all-pairs edge set, canonical max-id labels (engine CC semantics)
     "dedup_clusters" ->

@@ -101,6 +101,42 @@ object GraphMetrics {
     }
   }
 
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the symmetric directed edge list — positive = hubs link to hubs
+    * (social-graph shape), negative = hubs link to leaves (web/star
+    * shape); the one-number skew fingerprint that picks hot-vertex
+    * thresholds. Computed from EXACT integer moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy² as longs — one hash aggregation) and one final
+    * double formula, so the result is bit-reproducible at any
+    * parallelism and matches an oracle computing the same closed form
+    * (a streaming `corr()` would differ in the last ulp by fold order).
+    * Degenerate (regular) graphs → 0.0. One row, 6 dp. */
+  def degreeAssortativity(edges: Dataset[Edge]): DataFrame = {
+    val canon = GraphIO.canonical(edges)
+    val bidir = GraphIO.bidirectional(canon).toDF()
+    // degree = out-degree over the symmetric table (canon is already
+    // deduped; calling degrees() would re-canonicalize — a wasted shuffle)
+    val deg = bidir.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    val pairs = bidir.as("b")
+      .join(deg.as("d1"), col("b.src") === col("d1.id"))
+      .join(deg.as("d2"), col("b.dst") === col("d2.id"))
+      .select(col("d1.degree").as("x"), col("d2.degree").as("y"))
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(
+      when(col("n") * col("sxx") - col("sx") * col("sx") <= 0 ||
+           col("n") * col("syy") - col("sy") * col("sy") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+           sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6))
+        .as("assortativity"))
+  }
+
   /** §2.5 — dense relabel: map arbitrary component labels to dense ids
     * [0, #components) in ascending-label order — the PPoPP renumbering
     * (`SparseSampling.hpp:297-309`). Fully distributed via the [[prefixSum]]

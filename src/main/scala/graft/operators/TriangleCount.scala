@@ -137,4 +137,31 @@ object TriangleCount {
           .select($"src", $"dst",
             coalesce($"common_neighbors", lit(0L)).as("common_neighbors")))
     }
+
+  /** Adamic-Adar link-prediction score per canonical edge:
+    * AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common neighbors
+    * weighted by rarity (a shared hub says little, a shared 2-degree
+    * vertex says a lot). Every common neighbor sits in a triangle, so
+    * deg(w) ≥ 2 and the log never hits zero. Same O(m^1.5) oriented
+    * enumeration as [[count]]: each confirmed triangle (a; u, v)
+    * contributes a as a common neighbor of edge (u,v), v of (a,u) and
+    * u of (a,v). Edges in no triangle score 0; 6 dp. Eager. */
+  def adamicAdar(edges: Dataset[Edge]): DataFrame =
+    withTriangleBase(edges) { (canonDf, deg, tri) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val contribs = tri.select(explode(array(
+          struct(least($"a", $"u").as("src"), greatest($"a", $"u").as("dst"), $"v".as("w")),
+          struct(least($"a", $"v").as("src"), greatest($"a", $"v").as("dst"), $"u".as("w")),
+          struct($"src", $"dst", $"a".as("w")))).as("t"))
+        .select($"t.src".as("src"), $"t.dst".as("dst"), $"t.w".as("w"))
+      val perEdge = contribs
+        .join(deg.select($"id".as("w"), $"degree"), Seq("w"))
+        .groupBy($"src", $"dst")
+        .agg(sum(lit(1.0) / log($"degree")).as("aa"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        canonDf.join(perEdge, Seq("src", "dst"), "left")
+          .select($"src", $"dst",
+            round(coalesce($"aa", lit(0.0)), 6).as("adamic_adar")))
+    }
 }

@@ -279,4 +279,53 @@ class LpaTriangleSpec extends SparkSpec {
     got(0L) shouldBe 7L
     (1L until 8L).foreach(i => got(i) shouldBe 1L)
   }
+
+  test("adamic-adar: K4, triangle+pendant, and brute force on random") {
+    def oracle(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] = {
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val nbrs = canon.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      canon.map { case (u, v) =>
+        (u, v) -> BigDecimal((nbrs(u) & nbrs(v)).toSeq
+            .map(w => 1.0 / math.log(nbrs(w).size)).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    def got(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] =
+      TriangleCount.adamicAdar(
+          spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // K4: every edge has 2 common neighbors of degree 3 → 2/ln 3
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    got(k4).values.foreach(_ shouldBe (2.0 / math.log(3.0)) +- 1e-6)
+    // triangle 0-1-2 with pendant 3 on 2: edge (0,1) scores 1/ln(3)
+    // (common nbr 2 has degree 3); pendant edge (2,3) scores 0
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val g = got(tp)
+    g((0L, 1L)) shouldBe (1.0 / math.log(3.0)) +- 1e-6
+    g((2L, 3L)) shouldBe 0.0
+    // random graphs vs brute force
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+        .filter(e => e._1 != e._2)
+      val e = got(edges); val o = oracle(edges)
+      e.keySet shouldBe o.keySet
+      e.foreach { case (k, v) => v shouldBe o(k) +- 2e-6 }
+    }
+  }
+
+  test("assortativity: star is perfectly disassortative (-1), chain negative, regular → 0") {
+    def got(edges: Seq[(Long, Long)]): Double =
+      GraphMetrics.degreeAssortativity(
+          spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .collect()(0).getDouble(0)
+    // star: every edge joins the hub (deg n-1) to a leaf (deg 1) → r = -1
+    got((1L until 8L).map(i => (0L, i))) shouldBe -1.0 +- 1e-6
+    // cycle: all degrees equal → zero variance → defined as 0
+    got((0L until 6L).map(i => (i, (i + 1) % 6))) shouldBe 0.0
+    // chain: ends (deg 1) attach to deg-2 vertices → negative
+    got((0L until 9L).map(i => (i, i + 1))) should be < 0.0
+  }
 }
