@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangle wedge enumeration is an equi-join on the apex (no cartesian/BNLJ)") {
+    // shared backbone of triangles / clustering / common-neighbors /
+    // adamic-adar: the lo==lo wedge join must plan as an equi-join with
+    // the hi<hi predicate as a post-filter, never a cross product
+    import graft.graph.GraphIO
+    val edges = graft.sources.EdgeDerivation.supplierCooccurrence(spark, dir)
+    val plan = planOf(graft.operators.TriangleCount.wedges(
+      graft.operators.TriangleCount.orient(GraphIO.canonical(edges))))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("edges_supplier: self-join keys pushed as IsNotNull to both scans") {
     val plan = planOf(SparkEntry.queries("edges_supplier")(spark, dir))
     plan should include regex "IsNotNull\\(l_orderkey\\)"
