@@ -264,18 +264,19 @@ object SparkEntry {
     // survivor selection: one canonical (max-id) survivor per near-dup
     // cluster, everything unclustered kept — the deduplicated corpus
     // (the anti-join a training-data pipeline actually materializes)
-    "dedup_survivors" -> ((s, dir) => {
-      import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = graft.functions.Dedup.nearDuplicates(
-        docs, "doc_id", "text", threshold = 0.8)
-      val edges = pairs
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .as[graft.graph.Edge]
-      val labels = ConnectedComponents.run(edges).labels.toDF()
-      val losers = labels.filter(col("id") =!= col("label")).select(col("id"))
-      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-        .select(col("doc_id")).orderBy("doc_id")
+    "dedup_survivors" -> ((s, dir) =>
+      survivorDocs(s, dir).select(col("doc_id")).orderBy("doc_id")),
+    // the FINAL training corpus: near-dup survivors ∩ quality floor ∩
+    // identified language — the three gated stages composed into the
+    // one query a data pipeline actually ships
+    "corpus_filtered" -> ((s, dir) => {
+      val surv = survivorDocs(s, dir)
+      surv
+        .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang", graft.functions.TextAnalysis.langId(col("text")))
+        .filter(col("quality") >= 0.6 && col("lang") =!= "unknown")
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
     }),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
@@ -345,6 +346,23 @@ object SparkEntry {
   )
 
   /** Pinned iteration counts for the oracle-gated iterative queries. */
+  /** Documents surviving near-dup clustering (threshold 0.8): drop every
+    * non-max member of a near-dup reachability cluster; full document
+    * rows of the survivors. Shared by `dedup_survivors` and the
+    * composed `corpus_filtered`. */
+  private def survivorDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val pairs = graft.functions.Dedup.nearDuplicates(
+      docs, "doc_id", "text", threshold = 0.8)
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .as[graft.graph.Edge]
+    val labels = ConnectedComponents.run(edges).labels.toDF()
+    val losers = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+  }
+
   private val prIters = 12
   private val lpaIters = 20
   /** ppr restart set = vertices with id ≤ this (same predicate in the
@@ -842,6 +860,84 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
         |ORDER BY doc_id""".stripMargin,
+    // final corpus: survivors ∩ raw quality ≥ 0.6 ∩ identified language
+    // (filter on the UNROUNDED quality exactly like the engine; round
+    // only for output)
+    "corpus_filtered" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(generate_series(1, len(tk) - 2),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(text)) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+        |        THEN CAST(1.0 AS DOUBLE)
+        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
+        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM bidir
+        |  UNION
+        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
+        |),
+        |clusters AS (SELECT id, max(lbl) AS label FROM reach GROUP BY id),
+        |qt AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+        |    CASE WHEN len(tk) > 0
+        |         THEN CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+        |         ELSE 0.0 END AS mtl
+        |  FROM qt),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(len/200.0, 1.0) * 0.4 +
+        |    (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN np/n < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    (CASE WHEN nd/n < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality_raw
+        |  FROM qm),
+        |ltoks AS (
+        |  SELECT doc_id,
+        |    list_transform(CASE WHEN length(trim(text))=0 THEN []
+        |      ELSE regexp_split_to_array(trim(text),'\s+') END, s -> lower(s)) AS ltk,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |lscores AS (
+        |  SELECT doc_id, cjk,
+        |    len(list_filter(ltk, s -> list_contains(['the','and','of','to','is','in','that','with'], s))) AS s_en,
+        |    len(list_filter(ltk, s -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], s))) AS s_de,
+        |    len(list_filter(ltk, s -> list_contains(['le','la','les','et','est','dans','que','une'], s))) AS s_fr,
+        |    len(list_filter(ltk, s -> list_contains(['el','los','las','es','en','que','una','por'], s))) AS s_es
+        |  FROM ltoks),
+        |l AS (
+        |  SELECT doc_id, CASE WHEN cjk > 2 THEN 'zh'
+        |    WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+        |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr >= s_es THEN 'fr'
+        |    ELSE 'es' END AS lang
+        |  FROM lscores)
+        |SELECT d.doc_id, l.lang, round(q.quality_raw, 6) AS quality
+        |FROM documents d JOIN q ON d.doc_id = q.doc_id
+        |                 JOIN l ON d.doc_id = l.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
+        |  AND q.quality_raw >= 0.6 AND l.lang <> 'unknown'
+        |ORDER BY d.doc_id""".stripMargin,
     // duplicate clusters: reachability closure over the SAME exact
     // all-pairs edge set, canonical max-id labels (engine CC semantics)
     "dedup_clusters" ->

@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.Env
+import graft.graph.GraphIO
+import graft.operators.ConnectedComponents
+import graft.operators.ConnectedComponents.{CCStrategy, Config}
+import org.apache.spark.sql.SparkSession
+
+/** CLI parity with the reference binaries: every reference
+  * implementation is invoked as `<impl>.out INPUT_FILE` and reports
+  * vertex/edge/component counts plus elapsed seconds on stdout
+  * (`Serial/serial_cc.cpp:77-84`, `CSE613-MPI/my_MPI_cc.cpp:108-116`,
+  * `PPoPP_2018/ppopp_MPI_cc.cpp:59-71`). A reference user switches with:
+  *
+  *   sbt "runMain graft.tools.CCRun input/small.txt [hook|star|sampled|random]"
+  *
+  * Same input format (header `V E`, whitespace pairs, self-loops
+  * dropped on load), same bounds assertion, same report semantics
+  * (components counted over all V vertices, isolated ones included —
+  * `my_MPI_cc.cpp:106` counts the full label array).
+  * Env: SPARK_GRAFT_CPUS (default 8).
+  */
+object CCRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: CCRun INPUT_FILE [hook|star|sampled|random] (reference: serial_cc.cpp:18-25)")
+    val path = args(0)
+    val strategy = args.lift(1).getOrElse("hook") match {
+      case "star"    => CCStrategy.AlternatingStar
+      case "sampled" => CCStrategy.SampledContraction
+      case "random"  => CCStrategy.RandomizedHook
+      case _         => CCStrategy.HookAndContract
+    }
+    val cpus = Env.int("SPARK_GRAFT_CPUS", 8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cc")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    val g = GraphIO.readTextGraph(spark, path)
+    GraphIO.validateBounds(g.edges, g.vertexCount) // P4, serial_cc.cpp:39-40
+    val keptEdges = g.edges.count() // post self-loop drop, like the loaders
+    // isolated vertices participate in the count (identity labels)
+    val extra = Some(spark.range(0, g.vertexCount).as[Long])
+    val res = ConnectedComponents.run(g.edges, extra, Config(strategy = strategy))
+    val components = ConnectedComponents.componentCount(res.labels)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    // report shape of my_MPI_cc.cpp:108-116
+    println(s"Number of vertices: ${g.vertexCount}")
+    println(s"Number of edges: $keptEdges")
+    println(s"Number of iterations: ${res.metrics.size}")
+    println(s"Number of connected components: $components")
+    println(f"Elapsed time: $elapsed%.3f seconds")
+    spark.stop()
+  }
+}
