@@ -271,11 +271,13 @@ object SparkEntry {
     // one query a data pipeline actually ships
     "corpus_filtered" -> ((s, dir) => {
       val surv = survivorDocs(s, dir)
+      // qualityScore is 6dp-rounded by contract, so the filter and the
+      // output see the same value (the oracle rounds before comparing too)
       surv
         .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
         .withColumn("lang", graft.functions.TextAnalysis.langId(col("text")))
         .filter(col("quality") >= 0.6 && col("lang") =!= "unknown")
-        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+        .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
     }),
     // exact dedup groups (hash-groupBy)
@@ -345,7 +347,6 @@ object SparkEntry {
     })
   )
 
-  /** Pinned iteration counts for the oracle-gated iterative queries. */
   /** Documents surviving near-dup clustering (threshold 0.8): drop every
     * non-max member of a near-dup reachability cluster; full document
     * rows of the survivors. Shared by `dedup_survivors` and the
@@ -363,6 +364,7 @@ object SparkEntry {
     docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
   }
 
+  /** Pinned iteration counts for the oracle-gated iterative queries. */
   private val prIters = 12
   private val lpaIters = 20
   /** ppr restart set = vertices with id ≤ this (same predicate in the
@@ -383,6 +385,46 @@ object SparkEntry {
       |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |JOIN supplier sb ON b.l_suppkey = sb.s_suppkey
       |WHERE sa.s_nationkey = sb.s_nationkey AND a.l_suppkey < b.l_suppkey""".stripMargin
+
+  /** Shared oracle fragment: 3-shingle sets per document (CTE `t`) —
+    * the exact ground-truth tokenization the near-dup gate family
+    * (dedup_near_pairs / dedup_clusters / dedup_survivors /
+    * corpus_filtered) compares against. One copy so the four oracles
+    * cannot drift from each other. */
+  private val shingleCteSql =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE
+      |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |      ELSE list_transform(generate_series(1, len(tk) - 2),
+      |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN length(trim(text)) = 0 THEN []
+      |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+      |        FROM documents))""".stripMargin
+
+  /** Shared oracle fragment: exact all-pairs near-dup clusters at
+    * threshold 0.8 (CTEs `t` → `pairs` → `bidir` → `reach` → `clusters`,
+    * canonical max-id labels — the engine's CC semantics). Needs
+    * `WITH RECURSIVE`. */
+  private val dedupClustersCteSql =
+    s"""$shingleCteSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+       |        THEN CAST(1.0 AS DOUBLE)
+       |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
+       |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS lbl FROM bidir
+       |  UNION
+       |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
+       |),
+       |clusters AS (SELECT id, CAST(max(lbl) AS BIGINT) AS label
+       |             FROM reach GROUP BY id)""".stripMargin
 
   /** Reachability-closure CC over an edge CTE named `e` (canonical src<dst):
     * label(v) = max id reachable from v = component max — the exact
@@ -775,25 +817,16 @@ object SparkEntry {
     // exact all-pairs 3-shingle Jaccard ≥ 0.8 — the ground truth the
     // LSH+verify pipeline must reproduce exactly (recall included)
     "dedup_near_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE
-        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(generate_series(1, len(tk) - 2),
-        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-        |          THEN CAST(1.0 AS DOUBLE)
-        |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |               len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM pairs
-        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $shingleCteSql,
+         |scored AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+         |          THEN CAST(1.0 AS DOUBLE)
+         |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |               len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM scored
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     // Adamic-Adar: common neighbors of each edge weighted 1/ln(deg)
     "adamic_adar" ->
       s"""WITH e AS ($nationEdgesSql),
@@ -809,86 +842,37 @@ object SparkEntry {
          |  coalesce(aa.adamic_adar, CAST(0.0 AS DOUBLE)) AS adamic_adar
          |FROM e LEFT JOIN aa ON e.src = aa.src AND e.dst = aa.dst
          |ORDER BY e.src, e.dst""".stripMargin,
-    // assortativity: exact integer moment sums + one closed-form double
-    // (identical arithmetic to the engine — no streaming corr())
+    // assortativity: moment sums in DOUBLE over exact-integer terms —
+    // every partial sum below 2^53 is exact, so the value is identical
+    // to the engine's at any fold order (no streaming corr())
     "assortativity" ->
       s"""WITH e AS ($nationEdgesSql),
          |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
          |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
-         |p AS (SELECT CAST(d1.dg AS BIGINT) AS x, CAST(d2.dg AS BIGINT) AS y
+         |p AS (SELECT CAST(d1.dg AS DOUBLE) AS x, CAST(d2.dg AS DOUBLE) AS y
          |      FROM bidir b JOIN deg d1 ON b.src = d1.id
          |                   JOIN deg d2 ON b.dst = d2.id),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |             CAST(sum(x*y) AS BIGINT) AS sxy,
-         |             CAST(sum(x*x) AS BIGINT) AS sxx,
-         |             CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |             sum(x) AS sx, sum(y) AS sy,
+         |             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p)
          |SELECT CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0
          |       THEN CAST(0.0 AS DOUBLE)
-         |       ELSE round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
-         |            (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
-         |             sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)
+         |       ELSE round((n*sxy - sx*sy) /
+         |            (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
          |       END AS assortativity
          |FROM s""".stripMargin,
     // survivors: drop every non-max member of a reachability cluster
     "dedup_survivors" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE
-        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(generate_series(1, len(tk) - 2),
-        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-        |        THEN CAST(1.0 AS DOUBLE)
-        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
-        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT src AS id, src AS lbl FROM bidir
-        |  UNION
-        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
-        |),
-        |clusters AS (SELECT id, max(lbl) AS label FROM reach GROUP BY id)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
-        |ORDER BY doc_id""".stripMargin,
-    // final corpus: survivors ∩ raw quality ≥ 0.6 ∩ identified language
-    // (filter on the UNROUNDED quality exactly like the engine; round
-    // only for output)
+      s"""WITH RECURSIVE $dedupClustersCteSql
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
+         |ORDER BY doc_id""".stripMargin,
+    // final corpus: survivors ∩ quality ≥ 0.6 ∩ identified language.
+    // The engine's qualityScore ROUNDS to 6 dp by contract, so the
+    // filter must compare the rounded value here too — comparing raw
+    // would diverge for scores in [0.5999995, 0.6).
     "corpus_filtered" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE
-        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(generate_series(1, len(tk) - 2),
-        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-        |        THEN CAST(1.0 AS DOUBLE)
-        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
-        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT src AS id, src AS lbl FROM bidir
-        |  UNION
-        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
-        |),
-        |clusters AS (SELECT id, max(lbl) AS label FROM reach GROUP BY id),
+      raw"""WITH RECURSIVE $dedupClustersCteSql,
         |qt AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN []
@@ -936,37 +920,13 @@ object SparkEntry {
         |FROM documents d JOIN q ON d.doc_id = q.doc_id
         |                 JOIN l ON d.doc_id = l.doc_id
         |WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
-        |  AND q.quality_raw >= 0.6 AND l.lang <> 'unknown'
+        |  AND round(q.quality_raw, 6) >= 0.6 AND l.lang <> 'unknown'
         |ORDER BY d.doc_id""".stripMargin,
     // duplicate clusters: reachability closure over the SAME exact
     // all-pairs edge set, canonical max-id labels (engine CC semantics)
     "dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE
-        |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |      ELSE list_transform(generate_series(1, len(tk) - 2),
-        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |          CASE WHEN length(trim(text)) = 0 THEN []
-        |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-        |        THEN CAST(1.0 AS DOUBLE)
-        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
-        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT src AS id, src AS lbl FROM bidir
-        |  UNION
-        |  SELECT r.id, b.dst AS lbl FROM reach r JOIN bidir b ON r.lbl = b.src
-        |)
-        |SELECT id, CAST(max(lbl) AS BIGINT) AS label
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $dedupClustersCteSql
+         |SELECT id, label FROM clusters ORDER BY id""".stripMargin,
     // (id, band) skeleton of the banded signatures — bucket values are
     // xxhash64-bound (no DuckDB equivalent); see the query comment
     "dedup_minhash_bands" ->

@@ -105,11 +105,13 @@ object GraphMetrics {
     * the symmetric directed edge list — positive = hubs link to hubs
     * (social-graph shape), negative = hubs link to leaves (web/star
     * shape); the one-number skew fingerprint that picks hot-vertex
-    * thresholds. Computed from EXACT integer moment sums (n, Σx, Σy,
-    * Σxy, Σx², Σy² as longs — one hash aggregation) and one final
-    * double formula, so the result is bit-reproducible at any
-    * parallelism and matches an oracle computing the same closed form
-    * (a streaming `corr()` would differ in the last ulp by fold order).
+    * thresholds. Moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are computed in
+    * DOUBLE over exact-integer-valued terms: every partial sum below
+    * 2^53 is exact, so at oracle-gate scale the result is
+    * bit-reproducible at any parallelism and fold order (a streaming
+    * `corr()` is not), while at web scale the sums degrade gracefully
+    * to fp instead of overflowing — deg² products overflow a LONG at
+    * hub degree ≳ 3·10⁹, which under ANSI mode would crash the job.
     * Degenerate (regular) graphs → 0.0. One row, 6 dp. */
   def degreeAssortativity(edges: Dataset[Edge]): DataFrame = {
     val canon = GraphIO.canonical(edges)
@@ -120,9 +122,10 @@ object GraphMetrics {
     val pairs = bidir.as("b")
       .join(deg.as("d1"), col("b.src") === col("d1.id"))
       .join(deg.as("d2"), col("b.dst") === col("d2.id"))
-      .select(col("d1.degree").as("x"), col("d2.degree").as("y"))
+      .select(col("d1.degree").cast("double").as("x"),
+              col("d2.degree").cast("double").as("y"))
     val m = pairs.agg(
-      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
@@ -131,9 +134,9 @@ object GraphMetrics {
       when(col("n") * col("sxx") - col("sx") * col("sx") <= 0 ||
            col("n") * col("syy") - col("sy") * col("sy") <= 0, lit(0.0))
         .otherwise(round(
-          (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-          (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
-           sqrt(col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 6))
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
         .as("assortativity"))
   }
 

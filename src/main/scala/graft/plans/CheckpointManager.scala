@@ -96,6 +96,8 @@ final class CheckpointManager(spark: SparkSession, dir: String) {
       while (i < s.length && s(i) != '"') {
         if (s(i) == '\\') {
           i += 1
+          if (i >= s.length) fail("truncated escape")
+          if (s(i) == 'u' && i + 4 >= s.length) fail("truncated \\u escape")
           s(i) match {
             case '"'  => sb += '"'
             case '\\' => sb += '\\'

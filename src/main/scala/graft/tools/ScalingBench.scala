@@ -39,7 +39,13 @@ import java.nio.file.{Files, Paths}
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS", "2,8")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map { v =>
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"env var SPARK_GRAFT_SCALING_CPUS must be comma-separated integers, got '$v'")
+        }
+      }.toSeq
     val scale = Env.long("SPARK_GRAFT_BENCH_SCALE", 2000000L)
     val reps = Env.int("SPARK_GRAFT_SCALING_REPS", 2)
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "strong")
@@ -52,13 +58,13 @@ object ScalingBench {
     /** Weak mode scales the input with the thread count. */
     def scaleFor(n: Int): Long =
       if (mode == "weak") scale * n / nLo0 else scale
-    /** Weak mode also scales shuffle partitions with the data — per-
-      * partition volume stays constant, exactly as adding executors to a
-      * cluster adds partitions. Fixed partitions at 4× the rows would
-      * quadruple per-task hash-relation/sort sizes and OOM a config that
-      * is NOT actually short of aggregate memory per row. */
-    def partitionsFor(n: Int): Int =
-      if (mode == "weak") (n.toLong * n / nLo0).toInt else n
+    // Shuffle partitions = n in BOTH modes. In weak mode data grows ∝ n,
+    // so per-partition volume stays CONSTANT across configs (4d/4n =
+    // d/n) — exactly the cluster analogy (adding executors adds
+    // partitions), and each hi-config task builds the same-size hash
+    // relations as the lo config. (An earlier n²/nLo variant made hi
+    // tasks 4× smaller than lo tasks, measuring scheduling overhead
+    // instead of weak scaling.)
 
     val times = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(Double.MaxValue)
@@ -74,7 +80,7 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(s"local[$n]")
         .appName(s"graft-scaling-$n")
-        .config("spark.sql.shuffle.partitions", partitionsFor(n))
+        .config("spark.sql.shuffle.partitions", n)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -118,8 +118,12 @@ object GraftLineage {
         val fresh = l.copy(outputPartitioning = part, outputOrdering = order)(
           spark, originStats = None, originConstraints = None)
         org.apache.spark.sql.classic.Dataset.ofRows(spark, fresh)
-      case _ => // defensive fallback: unknown checkpoint plan shape
-        val rdd = cp.queryExecution.toRdd
+      case other => // legacy knob or unknown checkpoint plan shape
+        // Rewrap the CHECKPOINT's block-holding RDD (the LogicalRDD's),
+        // never a derived toRdd — release()/scopedBlocks must reach the
+        // real storage blocks or every superseded barrier leaks.
+        val rdd = other.collectFirst { case l: LogicalRDD => l.rdd }
+          .getOrElse(cp.queryExecution.toRdd)
         scopeStack.get() match {
           case head :: _ => head += rdd.id
           case Nil       => ()
