@@ -74,8 +74,13 @@ object PageRank {
 
     // Restart weight rw(v): 1/n uniform, or 1/|S∩V| over the sources.
     // rank_{t+1} = (1-d)·rw + d·(Σ_in w·rank_t + danglingMass·rw).
-    val vertsRw = restart match {
-      case None => verts.select($"id", lit(1.0 / n).as("rw"))
+    // Uniform runs keep rw as a LITERAL (constant-folded by Catalyst) —
+    // carrying a constant column through every iteration's shuffle
+    // would cost 8 bytes × vertices × iterations at scale for nothing;
+    // only personalized runs carry a real per-vertex rw column.
+    val personalized = restart.isDefined
+    val vertsRw: DataFrame = restart match {
+      case None => verts.select($"id")
       case Some(src) =>
         val sDf = src.toDF("sid").distinct()
         val nS = verts.join(sDf, $"id" === $"sid", "left_semi").count()
@@ -84,6 +89,8 @@ object PageRank {
           .select($"id",
             when($"sid".isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("rw"))
     }
+    val rw: org.apache.spark.sql.Column = if (personalized) $"rw" else lit(1.0 / n)
+    val rwCols = if (personalized) Seq(col("rw")) else Seq.empty[org.apache.spark.sql.Column]
 
     // Weighted adjacency: one row per directed edge with 1/outdeg(src),
     // hash-partitioned by src ONCE — the per-iteration join then reuses
@@ -101,14 +108,14 @@ object PageRank {
     // observed during iteration t's rank materialization — no extra job.
     val vertsFlagged = vertsRw.as("v")
       .join(outDeg.select($"src".as("id")).distinct().as("o"), Seq("id"), "left_anti")
-      .select($"id", $"rw", lit(true).as("dangling"))
+      .select(Seq($"id") ++ rwCols :+ lit(true).as("dangling"): _*)
       .union(vertsRw.as("v")
         .join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
-        .select($"id", $"rw", lit(false).as("dangling")))
+        .select(Seq($"id") ++ rwCols :+ lit(false).as("dangling"): _*))
 
     val (ranks0, m0) = barrierObserved(
       vertsFlagged
-        .select($"id", $"rw".as("rank"), $"rw", $"dangling")
+        .select(Seq($"id", rw.as("rank")) ++ rwCols :+ $"dangling": _*)
         .repartition(p, $"id"),
       coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
     var ranks = ranks0
@@ -129,17 +136,17 @@ object PageRank {
       // mass.
       val joined = ranks.as("r")
         .join(contribs.as("c"), Seq("id"), "left")
-        .select($"id",
-          (lit(1.0 - cfg.damping) * $"rw" + lit(cfg.damping) *
-            (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * $"rw")).as("rank"),
-          $"r.rank".as("prev"), $"rw", $"dangling")
+        .select(Seq($"id",
+          (lit(1.0 - cfg.damping) * rw + lit(cfg.damping) *
+            (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * rw)).as("rank"),
+          $"r.rank".as("prev")) ++ rwCols :+ $"dangling": _*)
       val (next, m) = barrierObserved(joined,
         coalesce(sum(abs($"rank" - $"prev")), lit(0.0)).as("delta"),
         coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
       delta = m("delta").asInstanceOf[Double]
       danglingMass = m("dmass").asInstanceOf[Double]
       GraftLineage.release(ranks)
-      ranks = next.select($"id", $"rank", $"rw", $"dangling")
+      ranks = next.select(Seq($"id", $"rank") ++ rwCols :+ $"dangling": _*)
       iter += 1
     }
     GraftLineage.release(wEdges); GraftLineage.release(verts)
