@@ -85,6 +85,12 @@ object SparkEntry {
     "common_neighbors" -> ((s, dir) =>
       TriangleCount.commonNeighborsPerEdge(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("src", "dst")),
+    // 4-truss: edges in ≥ 2 triangles, peeled to fixpoint (edge-level
+    // cohesion — the community-core extractor)
+    "ktruss4" -> ((s, dir) =>
+      TriangleCount.kTruss(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir), k = 4)
+        .orderBy("src", "dst")),
     // Adamic-Adar link-prediction score per edge (rarity-weighted
     // common neighbors, 6 dp)
     "adamic_adar" -> ((s, dir) =>
@@ -499,6 +505,36 @@ object SparkEntry {
        |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** k-truss by unrolled support-peeling: per step, per-edge triangle
+    * support = common-neighbor count via a bidir 3-way join; keep edges
+    * with support ≥ k−2. MATERIALIZED for the same reason as the k-core
+    * oracle (each step references the previous CTE three times — plain
+    * CTE inlining explodes exponentially in the unroll depth), and the
+    * final SELECT asserts convergence loudly via error(). */
+  private def kTrussOracleSql(edgesSql: String, k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT src, dst FROM e${t - 1}
+         |        UNION ALL SELECT dst, src FROM e${t - 1}),
+         |s$t AS MATERIALIZED (
+         |  SELECT e.src, e.dst, count(*) AS sup
+         |  FROM e${t - 1} e JOIN b$t n1 ON n1.src = e.src
+         |                   JOIN b$t n2 ON n2.src = e.dst AND n2.dst = n1.dst
+         |  GROUP BY e.src, e.dst),
+         |e$t AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${t - 1} e
+         |  JOIN s$t s ON e.src = s.src AND e.dst = s.dst
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+       |$steps
+       |SELECT src, dst FROM e$iters
+       |WHERE CASE WHEN (SELECT count(*) FROM e${iters - 1}) <>
+       |                (SELECT count(*) FROM e$iters)
+       |      THEN error('ktruss oracle under-peeled at $iters steps: raise iters')
+       |      ELSE true END
+       |ORDER BY src, dst""".stripMargin
+  }
+
   /** k-core by unrolled peeling (like the LPA/PageRank oracles, the
     * fixed-point loop is unrolled because recursive CTE terms cannot
     * aggregate): `iters` must be ≥ the peel depth — extra iterations are
@@ -763,6 +799,7 @@ object SparkEntry {
          |SELECT id, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "kcore3" -> kCoreOracleSql(nationEdgesSql, k = 3, iters = 25),
+    "ktruss4" -> kTrussOracleSql(nationEdgesSql, k = 4, iters = 15),
     "clustering_coeff" ->
       s"""WITH e AS ($nationEdgesSql),
          |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree

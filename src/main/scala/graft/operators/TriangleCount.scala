@@ -138,6 +138,42 @@ object TriangleCount {
             coalesce($"common_neighbors", lit(0L)).as("common_neighbors")))
     }
 
+  /** Edges of the k-truss: the maximal subgraph in which every edge
+    * participates in ≥ k−2 triangles — the edge-level cohesion
+    * decomposition (stricter than the k-core's vertex degrees; the
+    * standard community-core extractor). Iterative peeling: per-edge
+    * triangle support via the O(m^1.5) oriented enumeration, drop edges
+    * under k−2, repeat to fixpoint (support only shrinks when edges
+    * leave, so peeling converges; fixpoint = unchanged edge count,
+    * observed inside the materialization job). Returns the canonical
+    * truss edge list. */
+  def kTruss(edges: Dataset[Edge], k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.GraftLineage.scopedBlocks(spark) {
+      var e = org.apache.spark.sql.GraftLineage.barrier(GraphIO.canonical(edges).toDF())
+      var m = e.count()
+      var changed = m > 0
+      var iter = 0
+      while (changed && iter < maxIter) {
+        iter += 1
+        val support = commonNeighborsPerEdge(e.as[Edge]) // eager barrier
+        val (next, obs) = org.apache.spark.sql.GraftLineage.barrierObserved(
+          support.filter($"common_neighbors" >= k - 2).select($"src", $"dst"),
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        val m2 = Option(obs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        org.apache.spark.sql.GraftLineage.release(e)
+        org.apache.spark.sql.GraftLineage.release(support)
+        e = next
+        changed = m2 != m
+        m = m2
+      }
+      require(!changed, s"k-truss did not converge in $maxIter iterations")
+      e
+    }
+  }
+
   /** Adamic-Adar link-prediction score per canonical edge:
     * AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common neighbors
     * weighted by rarity (a shared hub says little, a shared 2-degree

@@ -316,6 +316,41 @@ class LpaTriangleSpec extends SparkSpec {
     }
   }
 
+  test("k-truss: K5 survives at k=4, chains/pendants peel away, brute force on random") {
+    def got(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
+      TriangleCount.kTruss(
+          spark.createDataset(edges.map(e => Edge(e._1, e._2))), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def oracle(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+      var changed = true
+      while (changed) {
+        val nbrs = e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val kept = e.filter { case (u, v) => (nbrs(u) & nbrs(v)).size >= k - 2 }
+        changed = kept != e
+        e = kept
+      }
+      e
+    }
+    // K5: every edge has 3 common neighbors → whole graph is a 4-truss
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    got(k5.toSeq, 4) shouldBe k5.toSet
+    // triangle + pendant at k=3: the triangle survives, the pendant peels
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    got(tp, 3) shouldBe Set((0L, 1L), (0L, 2L), (1L, 2L))
+    // chain has no triangles → empty at any k ≥ 3
+    got((0L until 6L).map(i => (i, i + 1)), 3) shouldBe Set.empty
+    // random graphs vs the brute-force peel
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(70)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 != e._2)
+      got(edges, 4) shouldBe oracle(edges, 4)
+    }
+  }
+
   test("assortativity: star is perfectly disassortative (-1), chain negative, regular → 0") {
     def got(edges: Seq[(Long, Long)]): Double =
       GraphMetrics.degreeAssortativity(
