@@ -108,7 +108,8 @@ object Bench {
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
-      "adamic_adar", "assortativity",
+      "adamic_adar", "assortativity", "neighbor_jaccard",
+      "edges_weighted", "pagerank_weighted",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",

@@ -101,6 +101,22 @@ object SparkEntry {
     "assortativity" -> ((s, dir) =>
       GraphMetrics.degreeAssortativity(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
+    // neighborhood Jaccard per edge (embeddedness; 0 = local bridge)
+    "neighbor_jaccard" -> ((s, dir) =>
+      TriangleCount.neighborhoodJaccard(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("src", "dst")),
+    // WEIGHTED edge table: co-occurrence multiplicity as tie strength
+    "edges_weighted" -> ((s, dir) =>
+      EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir)
+        .orderBy("src", "dst")),
+    // weighted PageRank: random walk ∝ co-occurrence weight (pinned
+    // iterations, 7 dp — same protocol as `pagerank`)
+    "pagerank_weighted" -> ((s, dir) =>
+      graft.operators.PageRank.runWeightedGraph(
+          EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir),
+          cfg = graft.operators.PageRank.Config(maxIter = prIters, tol = 0.0))
+        .ranks.select(col("id"), round(col("rank"), 7).as("rank"))
+        .orderBy("id")),
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
@@ -392,6 +408,17 @@ object SparkEntry {
       |JOIN supplier sb ON b.l_suppkey = sb.s_suppkey
       |WHERE sa.s_nationkey = sb.s_nationkey AND a.l_suppkey < b.l_suppkey""".stripMargin
 
+  /** Weighted same-nation co-occurrence edges: weight = distinct shared
+    * orders (mirrors `EdgeDerivation.supplierCooccurrenceWeightedByNation`). */
+  private val nationEdgesWeightedSql =
+    """SELECT a.s AS src, b.s AS dst, CAST(count(*) AS BIGINT) AS weight
+      |FROM (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s, s_nationkey AS nk
+      |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) a
+      |JOIN (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s, s_nationkey AS nk
+      |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) b
+      |  ON a.o = b.o AND a.nk = b.nk AND a.s < b.s
+      |GROUP BY a.s, b.s""".stripMargin
+
   /** Shared oracle fragment: 3-shingle sets per document (CTE `t`) —
     * the exact ground-truth tokenization the near-dup gate family
     * (dedup_near_pairs / dedup_clusters / dedup_survivors /
@@ -454,8 +481,11 @@ object SparkEntry {
     * decimal literals would otherwise compute 1-d exactly, diverging
     * from IEEE at the 1e-17 level — harmless under the 7 dp round, but
     * matching exactly costs nothing). */
-  private def pagerankOracleSql(edgesSql: String, iters: Int, d: Double): String = {
-    val steps = (1 to iters).map { t =>
+  /** Shared unrolled power-iteration steps over CTEs `w` (src, dst, w),
+    * `v` (id) and `nn` (n) — used by the uniform, weighted and (with a
+    * different base term) personalized PageRank oracles. */
+  private def prStepsSql(iters: Int, d: Double): String =
+    (1 to iters).map { t =>
       s"""r$t AS (SELECT v.id,
          |  (CAST(1.0 AS DOUBLE) - $d) * (CAST(1.0 AS DOUBLE)/(SELECT n FROM nn)) + $d * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS rank
          |  FROM v LEFT JOIN (
@@ -463,6 +493,8 @@ object SparkEntry {
          |    FROM w JOIN r${t - 1} r ON w.src = r.id GROUP BY w.dst) s USING (id))"""
         .stripMargin
     }.mkString(",\n")
+
+  private def pagerankOracleSql(edgesSql: String, iters: Int, d: Double): String =
     s"""WITH e AS ($edgesSql),
        |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |deg AS (SELECT src, count(*) AS od FROM bidir GROUP BY src),
@@ -471,9 +503,24 @@ object SparkEntry {
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |nn AS (SELECT count(*) AS n FROM v),
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM v),
-       |$steps
+       |${prStepsSql(iters, d)}
        |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
-  }
+
+  /** Weighted PageRank oracle: transition w = weight/strength over the
+    * weighted edge CTE `ew` (src, dst, weight). */
+  private def pagerankWeightedOracleSql(weightedEdgesSql: String, iters: Int, d: Double): String =
+    s"""WITH ew AS ($weightedEdgesSql),
+       |bidir AS (SELECT src, dst, weight FROM ew
+       |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew),
+       |st AS (SELECT src, sum(weight) AS st FROM bidir GROUP BY src),
+       |w AS (SELECT b.src, b.dst,
+       |        CAST(b.weight AS DOUBLE)/CAST(s.st AS DOUBLE) AS w
+       |      FROM bidir b JOIN st s USING (src)),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM v),
+       |${prStepsSql(iters, d)}
+       |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
 
   /** Personalized PageRank (restart uniform over sources `id <= srcMax`,
     * dangling mass → sources): same unrolled-CTE shape as
@@ -588,6 +635,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "pagerank" -> pagerankOracleSql(nationEdgesSql, prIters, 0.85),
     "ppr" -> pprOracleSql(nationEdgesSql, prIters, 0.85, pprSourceMax),
+    "pagerank_weighted" -> pagerankWeightedOracleSql(nationEdgesWeightedSql, prIters, 0.85),
+    "edges_weighted" ->
+      s"""$nationEdgesWeightedSql
+         |ORDER BY src, dst""".stripMargin,
+    "neighbor_jaccard" ->
+      s"""WITH e AS ($nationEdgesSql),
+         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
+         |cn AS (SELECT e.src, e.dst, count(*) AS c
+         |       FROM e JOIN bidir n1 ON n1.src = e.src
+         |              JOIN bidir n2 ON n2.src = e.dst AND n2.dst = n1.dst
+         |       GROUP BY e.src, e.dst)
+         |SELECT e.src, e.dst,
+         |  round(CAST(coalesce(cn.c, 0) AS DOUBLE) /
+         |        (d1.dg + d2.dg - coalesce(cn.c, 0)), 6) AS nbr_jaccard
+         |FROM e JOIN deg d1 ON e.src = d1.id
+         |       JOIN deg d2 ON e.dst = d2.id
+         |       LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
+         |ORDER BY e.src, e.dst""".stripMargin,
     "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

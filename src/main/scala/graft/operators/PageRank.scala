@@ -55,16 +55,62 @@ object PageRank {
                    cfg: Config = Config()): Result =
     runWeighted(edges, extraVertices, Some(sources), cfg)
 
+  /** PageRank over a WEIGHTED undirected graph: input rows
+    * (src, dst, weight), arbitrary orientation, duplicates summed,
+    * self-loops dropped. Transition probability u→v =
+    * weight(u,v) / strength(u) with strength = Σ incident weights —
+    * the natural random walk on a co-occurrence-counted link graph
+    * (an unweighted run over the same edges ignores tie strength).
+    * Same iteration machinery/plan as [[run]]; optional restart set =
+    * personalized weighted PageRank. */
+  def runWeightedGraph(weighted: DataFrame,
+                       sources: Option[Dataset[Long]] = None,
+                       extraVertices: Option[Dataset[Long]] = None,
+                       cfg: Config = Config()): Result = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val canonW = weighted
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"),
+        $"weight")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
+    val bidirW = canonW.select(explode(array(
+        struct($"src".as("src"), $"dst".as("dst"), $"weight"),
+        struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight"))
+    val strength = bidirW.groupBy($"src").agg(sum($"weight").as("st"))
+    val wEdgesRaw = bidirW.join(strength, "src")
+      .select($"src", $"dst",
+        ($"weight".cast("double") / $"st".cast("double")).as("w"))
+    val vertsRaw = bidirW.select($"src".as("id")).distinct()
+    iterate(spark, vertsRaw, wEdgesRaw, extraVertices, sources, cfg)
+  }
+
   private def runWeighted(edges: Dataset[Edge],
                           extraVertices: Option[Dataset[Long]],
                           restart: Option[Dataset[Long]],
                           cfg: Config): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-
     val canon = GraphIO.canonical(edges)
     val directed = GraphIO.bidirectional(canon)
-    val verts = GraphIO.vertices(canon).toDF("id")
+    val outDegPre = directed.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val wEdgesRaw = directed.join(outDegPre, "src")
+      .select($"src", $"dst", (lit(1.0) / $"outdeg").as("w"))
+    iterate(spark, GraphIO.vertices(canon).toDF("id"), wEdgesRaw,
+      extraVertices, restart, cfg)
+  }
+
+  /** Shared power-iteration core over a prepared transition table
+    * (src, dst, w) with Σ_dst w = 1 per non-dangling src. */
+  private def iterate(spark: org.apache.spark.sql.SparkSession,
+                      vertsRaw: DataFrame,
+                      wEdgesRaw: DataFrame,
+                      extraVertices: Option[Dataset[Long]],
+                      restart: Option[Dataset[Long]],
+                      cfg: Config): Result = {
+    import spark.implicits._
+    val verts = vertsRaw
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
       .cutLineage()
@@ -92,25 +138,24 @@ object PageRank {
     val rw: org.apache.spark.sql.Column = if (personalized) $"rw" else lit(1.0 / n)
     val rwCols = if (personalized) Seq(col("rw")) else Seq.empty[org.apache.spark.sql.Column]
 
-    // Weighted adjacency: one row per directed edge with 1/outdeg(src),
-    // hash-partitioned by src ONCE — the per-iteration join then reuses
-    // this partitioning (no edge shuffle per iteration; the rank side is
-    // already partitioned by id from the previous groupBy).
+    // Weighted adjacency: one row per directed edge with its transition
+    // weight, hash-partitioned by src ONCE — the per-iteration join then
+    // reuses this partitioning (no edge shuffle per iteration; the rank
+    // side is already partitioned by id from the previous groupBy).
     val p = spark.sessionState.conf.numShufflePartitions
-    val outDeg = directed.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val wEdges = directed.join(outDeg, "src")
-      .select($"src", $"dst", (lit(1.0) / $"outdeg").as("w"))
+    val wEdges = wEdgesRaw
       .repartition(p, $"src")
       .cutLineage()
 
     // Dangling = vertices with no out-edges (isolated ones here). A flag
     // column on the rank table; dangling mass for iteration t+1 is
     // observed during iteration t's rank materialization — no extra job.
+    val srcIds = wEdgesRaw.select($"src".as("id")).distinct()
     val vertsFlagged = vertsRw.as("v")
-      .join(outDeg.select($"src".as("id")).distinct().as("o"), Seq("id"), "left_anti")
+      .join(srcIds.as("o"), Seq("id"), "left_anti")
       .select(Seq($"id") ++ rwCols :+ lit(true).as("dangling"): _*)
       .union(vertsRw.as("v")
-        .join(outDeg.select($"src".as("id")).distinct(), Seq("id"), "left_semi")
+        .join(srcIds, Seq("id"), "left_semi")
         .select(Seq($"id") ++ rwCols :+ lit(false).as("dangling"): _*))
 
     val (ranks0, m0) = barrierObserved(

@@ -138,6 +138,32 @@ object TriangleCount {
             coalesce($"common_neighbors", lit(0L)).as("common_neighbors")))
     }
 
+  /** Neighborhood Jaccard per canonical edge:
+    * |N(u)∩N(v)| / (deg(u)+deg(v)−|N(u)∩N(v)|) — structural edge
+    * similarity (embeddedness normalized by neighborhood size; 0 marks
+    * a local bridge). Same shared triangle pass as the other per-edge
+    * features; 6 dp. Eager. */
+  def neighborhoodJaccard(edges: Dataset[Edge]): DataFrame =
+    withTriangleBase(edges) { (canonDf, deg, tri) =>
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val perEdge = tri.select(explode(array(
+          struct(least($"a", $"u").as("src"), greatest($"a", $"u").as("dst")),
+          struct(least($"a", $"v").as("src"), greatest($"a", $"v").as("dst")),
+          struct($"src", $"dst"))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .groupBy($"src", $"dst")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        canonDf
+          .join(perEdge, Seq("src", "dst"), "left")
+          .join(deg.select($"id".as("src"), $"degree".as("ds")), Seq("src"))
+          .join(deg.select($"id".as("dst"), $"degree".as("dd")), Seq("dst"))
+          .select($"src", $"dst",
+            round(coalesce($"cn", lit(0L)).cast("double") /
+              ($"ds" + $"dd" - coalesce($"cn", lit(0L))), 6).as("nbr_jaccard")))
+    }
+
   /** Edges of the k-truss: the maximal subgraph in which every edge
     * participates in ≥ k−2 triangles — the edge-level cohesion
     * decomposition (stricter than the k-core's vertex degrees; the

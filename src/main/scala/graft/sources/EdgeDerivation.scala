@@ -52,6 +52,29 @@ object EdgeDerivation {
       .as[Edge]
   }
 
+  /** WEIGHTED same-nation supplier co-occurrence: weight = number of
+    * distinct orders the pair shares (the tie-strength signal an
+    * unweighted edge set throws away — input for weighted PageRank /
+    * strength metrics). One row per canonical (src < dst) pair. */
+  def supplierCooccurrenceWeightedByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_suppkey", $"s_nationkey")
+    // distinct (order, supplier) first: a supplier with several
+    // lineitems in one order must count that order once
+    val liN = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .select($"l_orderkey", $"l_suppkey", $"s_nationkey")
+      .distinct()
+    liN.as("a").join(liN.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.s_nationkey" === $"b.s_nationkey" &&
+        $"a.l_suppkey" < $"b.l_suppkey")
+      .groupBy($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** part ↔ part edges when two parts co-occur in an order — the larger
     * derived graph (thousands of vertices at bench scale). */
   def partCooccurrence(spark: SparkSession, sfDir: String): Dataset[Edge] = {

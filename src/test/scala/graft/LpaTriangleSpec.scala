@@ -316,6 +316,38 @@ class LpaTriangleSpec extends SparkSpec {
     }
   }
 
+  test("neighborhood jaccard: K4 = 0.5, local bridge = 0, brute force on random") {
+    def got(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] =
+      TriangleCount.neighborhoodJaccard(
+          spark.createDataset(edges.map(e => Edge(e._1, e._2))))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def oracle(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] = {
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val nbrs = canon.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      canon.map { case (u, v) =>
+        val cn = (nbrs(u) & nbrs(v)).size
+        (u, v) -> BigDecimal(cn.toDouble / (nbrs(u).size + nbrs(v).size - cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    // K4: every edge has cn=2, deg 3+3 → 2/4 = 0.5
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    got(k4).values.foreach(_ shouldBe 0.5)
+    // triangle with pendant: the pendant edge is a local bridge → 0
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    got(tp)((2L, 3L)) shouldBe 0.0
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter(e => e._1 != e._2)
+      val e = got(edges); val o = oracle(edges)
+      e.keySet shouldBe o.keySet
+      e.foreach { case (k, v) => v shouldBe o(k) +- 2e-6 }
+    }
+  }
+
   test("k-truss: K5 survives at k=4, chains/pendants peel away, brute force on random") {
     def got(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
       TriangleCount.kTruss(

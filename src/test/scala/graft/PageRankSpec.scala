@@ -174,6 +174,50 @@ class PageRankSpec extends SparkSpec {
     got(99L) shouldBe 0.0 +- 1e-12 // unreachable from sources, no restart
   }
 
+  /** Dense weighted oracle: transition ∝ edge weight / vertex strength. */
+  private def weightedOracle(edges: Seq[(Long, Long, Long)],
+                             damping: Double = 0.85, iters: Int = 300): Map[Long, Double] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => ((math.min(e._1, e._2), math.max(e._1, e._2)), e._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ids = canon.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.size
+    val adj = Array.fill(n)(List.empty[(Int, Long)])
+    canon.foreach { case ((u, v), w) =>
+      adj(idx(u)) = (idx(v), w) :: adj(idx(u))
+      adj(idx(v)) = (idx(u), w) :: adj(idx(v))
+    }
+    val strength = adj.map(_.map(_._2).sum.toDouble)
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 0 until iters) {
+      val nxt = Array.fill(n)((1.0 - damping) / n)
+      for (i <- 0 until n; (j, w) <- adj(i))
+        nxt(j) += damping * r(i) * w / strength(i)
+      r = nxt
+    }
+    ids.zip(r).toMap
+  }
+
+  test("weighted: heavy edges attract rank, allclose vs dense weighted oracle") {
+    // chain 0-1-2-3-4 with a heavy 1-2 tie (weight 10 vs 1)
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 10L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val df = spark.createDataset(edges).toDF("src", "dst", "weight")
+    val got = PageRank.runWeightedGraph(df).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allclose(got, weightedOracle(edges))
+    math.abs(got.values.sum - 1.0) should be < 1e-9
+    // the heavy tie pulls mass toward 1 and 2 vs the symmetric ends
+    got(1L) should be > got(0L)
+    got(2L) should be > got(3L)
+    // all-equal weights reduce to the unweighted result
+    val eq = Seq((0L, 1L, 3L), (1L, 2L, 3L), (2L, 3L, 3L))
+    val gotEq = PageRank.runWeightedGraph(
+        spark.createDataset(eq).toDF("src", "dst", "weight")).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allclose(gotEq, sparkPR(eq.map(e => (e._1, e._2)), Nil))
+  }
+
   test("ranks sum to 1 on a multi-component graph") {
     val edges = Seq[(Long, Long)]((0, 1), (2, 3), (3, 4), (2, 4))
     val got = sparkPR(edges, Nil)
