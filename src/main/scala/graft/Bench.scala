@@ -109,7 +109,7 @@ object Bench {
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard",
-      "edges_weighted", "pagerank_weighted",
+      "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",

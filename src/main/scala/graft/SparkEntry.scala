@@ -117,6 +117,18 @@ object SparkEntry {
           cfg = graft.operators.PageRank.Config(maxIter = prIters, tol = 0.0))
         .ranks.select(col("id"), round(col("rank"), 7).as("rank"))
         .orderBy("id")),
+    // weighted LPA: heaviest-total-weight neighbor label (integer
+    // votes → exact fixpoint, same protocol as `lpa`)
+    "lpa_weighted" -> ((s, dir) =>
+      graft.operators.LabelPropagation.runWeightedGraph(
+        EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir),
+        cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters))
+        .labels.orderBy("id")),
+    // vertex strength (weighted degree)
+    "strength" -> ((s, dir) =>
+      GraphMetrics.strength(
+        EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir))
+        .orderBy("id")),
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
@@ -630,15 +642,42 @@ object SparkEntry {
        |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
   }
 
+  /** Weighted LPA oracle: unrolled CTE chain with weighted votes
+    * (row_number over sum(weight) DESC, label ASC). */
+  private def lpaWeightedOracleSql(weightedEdgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""l$t AS (SELECT id, nl AS label FROM (
+         |  SELECT b.dst AS id, l.label AS nl,
+         |    row_number() OVER (PARTITION BY b.dst
+         |                       ORDER BY sum(b.weight) DESC, l.label ASC) AS rn
+         |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
+         |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS ($weightedEdgesSql),
+       |bidir AS (SELECT src, dst, weight FROM ew
+       |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "pagerank" -> pagerankOracleSql(nationEdgesSql, prIters, 0.85),
     "ppr" -> pprOracleSql(nationEdgesSql, prIters, 0.85, pprSourceMax),
     "pagerank_weighted" -> pagerankWeightedOracleSql(nationEdgesWeightedSql, prIters, 0.85),
+    "lpa_weighted" -> lpaWeightedOracleSql(nationEdgesWeightedSql, lpaIters),
     "edges_weighted" ->
       s"""$nationEdgesWeightedSql
          |ORDER BY src, dst""".stripMargin,
+    "strength" ->
+      s"""WITH ew AS ($nationEdgesWeightedSql),
+         |bidir AS (SELECT src, dst, weight FROM ew
+         |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew)
+         |SELECT src AS id, CAST(sum(weight) AS BIGINT) AS strength
+         |FROM bidir GROUP BY src ORDER BY id""".stripMargin,
     "neighbor_jaccard" ->
       s"""WITH e AS ($nationEdgesSql),
          |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),

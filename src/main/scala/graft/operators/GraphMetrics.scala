@@ -101,6 +101,23 @@ object GraphMetrics {
     }
   }
 
+  /** Vertex strength (weighted degree): Σ incident edge weights over a
+    * weighted edge table (src, dst, weight) — arbitrary orientation,
+    * duplicate rows summed, self-loops dropped. One hash aggregation
+    * after a single-scan explode, like [[degrees]]. */
+  def strength(weighted: DataFrame): DataFrame = {
+    val canonW = weighted
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    canonW.select(explode(array(
+        struct(col("src").as("id"), col("weight").as("w")),
+        struct(col("dst").as("id"), col("weight").as("w")))).as("e"))
+      .select(col("e.id").as("id"), col("e.w").as("w"))
+      .groupBy(col("id")).agg(sum(col("w")).as("strength"))
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees over
     * the symmetric directed edge list — positive = hubs link to hubs
     * (social-graph shape), negative = hubs link to leaves (web/star

@@ -33,8 +33,38 @@ object LabelPropagation {
           cfg: Config = Config()): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-
     val canon = GraphIO.canonical(edges)
+    propagate(GraphIO.bidirectional(canon).toDF().withColumn("weight", lit(1L)),
+      GraphIO.vertices(canon).toDF("id"), extraVertices, cfg)
+  }
+
+  /** LPA over a WEIGHTED undirected graph (rows (src, dst, weight),
+    * arbitrary orientation, duplicates summed, self-loops dropped):
+    * each vertex adopts the label with the largest total incident
+    * weight, ties → smallest label. Integer weights keep the vote exact
+    * and the fixpoint deterministic, like the unweighted case. */
+  def runWeightedGraph(weighted: DataFrame,
+                       extraVertices: Option[Dataset[Long]] = None,
+                       cfg: Config = Config()): Result = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val canonW = weighted
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"),
+        $"weight")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
+    val bidirW = canonW.select(explode(array(
+        struct($"src".as("src"), $"dst".as("dst"), $"weight"),
+        struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight"))
+    propagate(bidirW, bidirW.select($"src".as("id")).distinct(), extraVertices, cfg)
+  }
+
+  private def propagate(bidirRaw: DataFrame, vertsRaw: DataFrame,
+                        extraVertices: Option[Dataset[Long]],
+                        cfg: Config): Result = {
+    val spark = bidirRaw.sparkSession
+    import spark.implicits._
     // Hash-partition the bidirectional adjacency by src ONCE — the
     // per-iteration labels join then reuses this partitioning (zero
     // exchanges at the join; the barrier preserves outputPartitioning).
@@ -42,9 +72,8 @@ object LabelPropagation {
     // upstream distinct's (src,dst) partitioning, which does NOT satisfy
     // the join's src clustering — one full edge shuffle per iteration.
     val p = spark.sessionState.conf.numShufflePartitions
-    val bidir = GraphIO.bidirectional(canon).toDF()
-      .repartition(p, $"src").cutLineage()
-    val verts = GraphIO.vertices(canon).toDF("id")
+    val bidir = bidirRaw.repartition(p, $"src").cutLineage()
+    val verts = vertsRaw
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
       .cutLineage()
@@ -54,12 +83,13 @@ object LabelPropagation {
     var changed = 1L
 
     while (iter < cfg.maxIter && changed > 0) {
-      // most frequent neighbor label; ties → smallest label.
-      // argmax as a single hash agg: max_by over (count, -label).
+      // heaviest neighbor label (unweighted: weight ≡ 1 → most
+      // frequent); ties → smallest label. argmax as a single hash agg:
+      // max_by over (vote, -label).
       val nbrCounts = bidir.as("e")
         .join(labels.as("l"), $"e.src" === $"l.id")
         .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum($"e.weight").as("c"))
       val best = nbrCounts
         .groupBy($"id")
         .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))

@@ -316,6 +316,43 @@ class LpaTriangleSpec extends SparkSpec {
     }
   }
 
+  test("weighted LPA: a heavy tie overrides frequency; equal weights reduce to unweighted") {
+    import graft.operators.LabelPropagation
+    // vertex 0 has two light neighbors in community A {1,2} and ONE
+    // heavy neighbor 3: unweighted LPA votes 0 into A, weighted votes
+    // it to 3's side
+    val edges = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (0L, 3L, 5L), (3L, 4L, 5L), (4L, 3L, 5L))
+    val wdf = spark.createDataset(edges).toDF("src", "dst", "weight")
+    val weighted = LabelPropagation.runWeightedGraph(wdf,
+        cfg = LabelPropagation.Config(maxIter = 10))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pulled to the heavy side (synchronous LPA oscillates labels
+    // WITHIN the heavy pair {3,4}, so assert side membership, not an
+    // exact label): unweighted voting would keep 0 in {0,1,2}
+    Set(3L, 4L) should contain(weighted(0L))
+    Set(0L, 1L, 2L) should contain(weighted(1L))
+    Set(0L, 1L, 2L) should contain(weighted(2L))
+    // all-equal weights on a DUPLICATE-FREE edge list = plain LPA
+    // (duplicates deliberately SUM in the weighted path — a repeated
+    // row is tie strength — while the unweighted path dedups)
+    val base = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (3L, 4L))
+    val eqW = LabelPropagation.runWeightedGraph(
+        spark.createDataset(base.map(e => (e._1, e._2, 1L)))
+          .toDF("src", "dst", "weight"),
+        cfg = LabelPropagation.Config(maxIter = 10))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = LabelPropagation.run(
+        spark.createDataset(base.map(e => Edge(e._1, e._2))),
+        cfg = LabelPropagation.Config(maxIter = 10))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    eqW shouldBe plain
+    // strength: duplicate orientations sum; self-loops dropped
+    val s = GraphMetrics.strength(wdf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s(3L) shouldBe 15L // 5 (edge 0-3) + 5+5 (both orientations of 3-4 summed)
+    s(0L) shouldBe 7L
+  }
+
   test("neighborhood jaccard: K4 = 0.5, local bridge = 0, brute force on random") {
     def got(edges: Seq[(Long, Long)]): Map[(Long, Long), Double] =
       TriangleCount.neighborhoodJaccard(
