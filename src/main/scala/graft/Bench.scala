@@ -36,7 +36,7 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = Env.int("SPARK_GRAFT_CPUS", 32).toString
+    val (cpus, cores) = Env.cpus("SPARK_GRAFT_CPUS", 32)
     val scale = Env.long("SPARK_GRAFT_BENCH_SCALE", 400000L)
     val strategyName = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "hook")
     val reps = Env.int("SPARK_GRAFT_BENCH_REPS", 3)
@@ -45,7 +45,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1")
       .config("spark.sql.session.timeZone", "UTC")
@@ -85,7 +85,9 @@ object Bench {
     for (_ <- 1 to math.max(1, reps)) {
       val t0 = System.nanoTime()
       val r = ConnectedComponents.run(suite, None, Config(strategy = strategy))
-      val comp = ConnectedComponents.componentCount(r.labels)
+      // folded into the final mapping job for hook/sampled (one fewer
+      // driver action per run); countDistinct fallback for the others
+      val comp = r.components.getOrElse(ConnectedComponents.componentCount(r.labels))
       val sec = (System.nanoTime() - t0) / 1e9
       ccPasses += sec
       if (sec < ccSec) { ccSec = sec; res = r; components = comp }
@@ -166,13 +168,26 @@ object Bench {
       s""""cc_seconds":${f"$ccSec%.3f"},"cc_passes":$ccPassesJson,""" +
       s""""query_passes":$qPassesJson,"cc_supersteps":${res.metrics.size},""" +
       s""""cc_components":$components,"cc_strategy":"$strategyName",""" +
-      s""""cc_reps":$reps,"parallelism":$cpus,"bench_scale":$scale}"""
+      s""""cc_reps":$reps,"parallelism":$cores,"bench_scale":$scale}"""
     try {
       val p = Paths.get(outFile)
       if (p.getParent != null) Files.createDirectories(p.getParent)
       Files.writeString(p, json + "\n")
     } catch { case e: Throwable => // best-effort, but never silent
       System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    // Frozen per-run history: last_bench.json is overwritten by every run
+    // (three rounds of doc-vs-artifact drift), so each run ALSO appends an
+    // immutable timestamped line here — docs cite the frozen line.
+    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH/history.jsonl")
+    try {
+      val hp = Paths.get(histFile)
+      if (hp.getParent != null) Files.createDirectories(hp.getParent)
+      val line = s"""{"ts":${System.currentTimeMillis()},""" + json.drop(1) + "\n"
+      Files.write(hp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append $histFile: $e")
     }
     println(json)
     spark.stop()

@@ -22,4 +22,21 @@ object Env {
           s"env var $name must be an integer, got '$v'")
       }
     }.getOrElse(default)
+
+  /** A `local[N]` thread-count spec: an integer, or `*` (all cores —
+    * passed through to Spark's master string). Returns the spec plus the
+    * resolved core count (`*` → availableProcessors) so callers can size
+    * `spark.sql.shuffle.partitions`, which must be numeric. */
+  def cpus(name: String, default: Int): (String, Int) =
+    sys.env.get(name).map(_.trim) match {
+      case Some("*")  => ("*", Runtime.getRuntime.availableProcessors())
+      case Some(v)    =>
+        val n = try v.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"env var $name must be an integer or '*', got '$v'")
+          }
+        (n.toString, n)
+      case None       => (default.toString, default)
+    }
 }

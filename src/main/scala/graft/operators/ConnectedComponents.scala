@@ -123,7 +123,21 @@ object ConnectedComponents {
       /** stderr progress lines per superstep/jump (diagnostics). */
       verbose: Boolean = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1"))
 
-  final case class Result(labels: Dataset[VertexLabel], metrics: Seq[SuperstepMetrics])
+  /** `components`: the distinct-label count, observed for free inside the
+    * FINAL mapping materialization when the strategy's labels are already
+    * canonical there (hook, sampled): canonical max labels mean
+    * `components = count(id == label)`, so the separate `countDistinct`
+    * action [[componentCount]] would otherwise pay per run is folded into
+    * a job that already exists. `None` for strategies whose
+    * canonicalization is composed lazily after the loop (star, random). */
+  final case class Result(labels: Dataset[VertexLabel], metrics: Seq[SuperstepMetrics],
+                          components: Option[Long] = None)
+
+  /** Observation: #rows with id == label — on a canonical-max label table
+    * this IS the component count (each component contains exactly one
+    * vertex labeled with itself: its max). */
+  private def rootsMetric =
+    coalesce(sum(when(col("id") === col("label"), 1L)), lit(0L)).as("roots")
 
   /** CC of `edges` (+ optional isolated vertices). Input edges may be
     * dirty: self-loops, duplicates, arbitrary orientation — loader
@@ -166,16 +180,20 @@ object ConnectedComponents {
     val mapping0 = verts.select($"id", $"id".as("label"))
 
     val cleanedDs = cleaned.as[Edge]
-    val (labels, metrics) = cfg.strategy match {
+    val (labels, metrics, comps) = cfg.strategy match {
       case CCStrategy.HookAndContract    =>
         hookAndContract(cleanedDs, mapping0, cfg, preRanged = true,
           initialCount = Some(cleanedCount))
-      case CCStrategy.AlternatingStar    => alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
+      case CCStrategy.AlternatingStar    =>
+        val (l, m) = alternatingStar(GraphIO.canonical(cleanedDs), mapping0, cfg)
+        (l, m, None)
       case CCStrategy.SampledContraction => sampledContraction(GraphIO.canonical(cleanedDs), mapping0, cfg)
-      case CCStrategy.RandomizedHook     => randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
+      case CCStrategy.RandomizedHook     =>
+        val (l, m) = randomizedHook(GraphIO.canonical(cleanedDs), mapping0, cfg)
+        (l, m, None)
     }
     cleaned.releaseLineage()
-    Result(labels.select($"id", $"label").as[VertexLabel], metrics)
+    Result(labels.select($"id", $"label").as[VertexLabel], metrics, comps)
   }
 
   /** Resume a run from its latest durable checkpoint. The manifest's
@@ -194,15 +212,19 @@ object ConnectedComponents {
     val edges = ck.load(step, "edges").as[Edge]
     val mapping = ck.load(step, "mapping")
     val cfg2 = cfg.copy(checkpointDir = Some(checkpointDir))
-    val (labels, metrics) = algo match {
+    val (labels, metrics, comps) = algo match {
       case "cc-hook" => hookAndContract(edges, mapping, cfg2, startRound = step + 1)
       case "cc-sampled" => sampledContraction(edges, mapping, cfg2, startRound = step + 1)
-      case "cc-random" => randomizedHook(edges, mapping, cfg2, startRound = step + 1)
-      case "cc-star" => alternatingStar(edges, mapping, cfg2, startRound = step + 1)
+      case "cc-random" =>
+        val (l, m) = randomizedHook(edges, mapping, cfg2, startRound = step + 1)
+        (l, m, None)
+      case "cc-star" =>
+        val (l, m) = alternatingStar(edges, mapping, cfg2, startRound = step + 1)
+        (l, m, None)
       case other =>
         throw new IllegalStateException(s"unknown checkpoint algo '$other' under $checkpointDir")
     }
-    Result(labels.select($"id", $"label").as[VertexLabel], metrics)
+    Result(labels.select($"id", $"label").as[VertexLabel], metrics, comps)
   }
 
   // ---------------------------------------------------------------------
@@ -211,7 +233,8 @@ object ConnectedComponents {
   private def hookAndContract(
       edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
       startRound: Int = 0, preRanged: Boolean = false,
-      initialCount: Option[Long] = None): (DataFrame, Seq[SuperstepMetrics]) = {
+      initialCount: Option[Long] = None)
+      : (DataFrame, Seq[SuperstepMetrics], Option[Long]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
@@ -240,6 +263,9 @@ object ConnectedComponents {
     var mapping = mapping0
     var round = startRound
     var edgeCount = initialCount.getOrElse(edges.count())
+    // roots observed in each round's mapping materialization; at loop
+    // exit the last value IS the component count (labels final there)
+    var lastRoots: Option[Long] = None
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
       // Driver tail finish (G8): collect the small contracted remainder,
@@ -252,12 +278,19 @@ object ConnectedComponents {
         val pairs = edges.select($"src", $"dst").as[(Long, Long)].collect()
         val cc = UnionFind.components(pairs.iterator)
         val mapRows = cc.iterator.filter { case (v, r) => v != r }.toSeq
-        val mapDf = broadcast(spark.createDataset(mapRows).toDF("old", "new"))
+        // the relabel map can approach 2×driverFinishEdges rows; only
+        // force-broadcast it when it is inside the configured broadcast
+        // class — past that, fall back to a shuffle join rather than
+        // bypassing autoBroadcastJoinThreshold with a ~100 MB relation
+        val mapDf = bcIfSmall(
+          spark.createDataset(mapRows).toDF("old", "new"), mapRows.size.toLong, cfg)
         val newMapping = mapping.as("m")
           .join(mapDf.as("f"), $"m.label" === $"f.old", "left")
           .select($"m.id".as("id"), coalesce($"f.new", $"m.label").as("label"))
         val prevMapping = mapping
-        mapping = newMapping.cutLineage()
+        val (mappedDf, mm) = barrierObserved(newMapping, rootsMetric)
+        mapping = mappedDf
+        lastRoots = Option(mm("roots")).map(_.asInstanceOf[Long])
         prevMapping.releaseLineage(); edges.releaseLineage()
         edges = spark.emptyDataset[Edge].toDF()
         val stepMetric = SuperstepMetrics(cfg.runId, "cc-hook", round,
@@ -438,23 +471,26 @@ object ConnectedComponents {
       // single-JVM 8g sandbox the two materializations contend for the
       // same heap (measured: local[8] 16M-edge suite regressed ~2× with
       // overlap on), so the default is sequential.
-      val (newEdges, cm, newMappingDf) =
+      val (newEdges, cm, newMappingDf, mm) =
         if (cfg.overlapJobs) {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.{Duration => SDuration}
           import scala.concurrent.ExecutionContext.Implicits.global
           val contractedF = Future(barrierObserved(contracted, count(lit(1)).as("n")))
-          val mappingF = Future(newMapping.cutLineage())
+          val mappingF = Future(barrierObserved(newMapping, rootsMetric))
           val (e, m) = Await.result(contractedF, SDuration.Inf)
-          (e, m, Await.result(mappingF, SDuration.Inf))
+          val (md, mMet) = Await.result(mappingF, SDuration.Inf)
+          (e, m, md, mMet)
         } else {
           val (e, m) = barrierObserved(contracted, count(lit(1)).as("n"))
           if (cfg.verbose) System.err.println(s"[cc-hook] round=$round contraction done at ${ms}ms")
-          (e, m, newMapping.cutLineage())
+          val (md, mMet) = barrierObserved(newMapping, rootsMetric)
+          (e, m, md, mMet)
         }
       edges = newEdges
       val newCount = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       mapping = newMappingDf
+      lastRoots = Option(mm("roots")).map(_.asInstanceOf[Long])
       if (cfg.verbose) System.err.println(s"[cc-hook] round=$round mapping done at ${ms}ms")
       jumpBarriers.foreach(_.releaseLineage())
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
@@ -482,9 +518,14 @@ object ConnectedComponents {
       s"CC did not converge in ${cfg.maxRounds} rounds ($edgeCount edges left)")
     // If the loop never ran (edge-free input) the mapping is still the
     // LAZY identity over the caller's input barrier, which run() releases
-    // before the result is consumed — materialize it now.
-    if (round == startRound) mapping = mapping.cutLineage()
-    (mapping, metrics.toSeq)
+    // before the result is consumed — materialize it now (every vertex
+    // its own component: roots = row count).
+    if (round == startRound) {
+      val (md, mm) = barrierObserved(mapping, rootsMetric)
+      mapping = md
+      lastRoots = Option(mm("roots")).map(_.asInstanceOf[Long])
+    }
+    (mapping, metrics.toSeq, lastRoots)
   }
 
   // ---------------------------------------------------------------------
@@ -586,7 +627,7 @@ object ConnectedComponents {
   private def sampledContraction(
       edges0: Dataset[Edge], mapping0: DataFrame, cfg: Config,
       startRound: Int = 0):
-      (DataFrame, Seq[SuperstepMetrics]) = {
+      (DataFrame, Seq[SuperstepMetrics], Option[Long]) = {
     val spark = edges0.sparkSession
     import spark.implicits._
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
@@ -596,6 +637,7 @@ object ConnectedComponents {
     var mapping = mapping0.cutLineage()
     var round = startRound
     var edgeCount = edges.count()
+    var lastRoots: Option[Long] = None
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
       val t0 = System.nanoTime()
@@ -636,7 +678,9 @@ object ConnectedComponents {
 
       val prevEdges = edges; val prevMapping = mapping
       edges = contracted.cutLineage()
-      mapping = newMapping.cutLineage()
+      val (mappedDf, mm) = barrierObserved(newMapping, rootsMetric)
+      mapping = mappedDf
+      lastRoots = Option(mm("roots")).map(_.asInstanceOf[Long])
       val newCount = edges.count()
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
@@ -655,7 +699,10 @@ object ConnectedComponents {
     }
     require(edgeCount == 0,
       s"sampled CC did not converge in ${cfg.maxRounds} rounds")
-    (mapping, metrics.toSeq)
+    // edge-free input: the loop never ran — mapping is the identity,
+    // every vertex its own component
+    if (round == startRound) lastRoots = Some(mapping.count())
+    (mapping, metrics.toSeq, lastRoots)
   }
 
   // ---------------------------------------------------------------------

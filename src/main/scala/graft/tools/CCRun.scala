@@ -31,11 +31,11 @@ object CCRun {
       case "random"  => CCStrategy.RandomizedHook
       case _         => CCStrategy.HookAndContract
     }
-    val cpus = Env.int("SPARK_GRAFT_CPUS", 8)
+    val (cpus, cores) = Env.cpus("SPARK_GRAFT_CPUS", 8)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-cc")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,10 +45,22 @@ object CCRun {
     val g = GraphIO.readTextGraph(spark, path)
     GraphIO.validateBounds(g.edges, g.vertexCount) // P4, serial_cc.cpp:39-40
     val keptEdges = g.edges.count() // post self-loop drop, like the loaders
-    // isolated vertices participate in the count (identity labels)
+    // Isolated vertices participate in the count (identity labels), via a
+    // dense `range(0, V)` — correct parity for reference-format graphs,
+    // whose headers declare a dense id space (largest input: 2^22). At
+    // web-graph V (north rule: ~10^12) this identity table would dwarf
+    // the edge set; the library API takes the REAL vertex set as
+    // `extraVertices` instead — this CLI guard only flags the dense-range
+    // shortcut, it does not change semantics.
+    if (g.vertexCount > 1000000000L)
+      System.err.println(s"[cc-run] header declares V=${g.vertexCount}: " +
+        "materializing a dense isolated-vertex range this large is the " +
+        "reference-parity shortcut, not the scale path — pass the real " +
+        "vertex set via ConnectedComponents.run(extraVertices) instead")
     val extra = Some(spark.range(0, g.vertexCount).as[Long])
     val res = ConnectedComponents.run(g.edges, extra, Config(strategy = strategy))
-    val components = ConnectedComponents.componentCount(res.labels)
+    val components = res.components
+      .getOrElse(ConnectedComponents.componentCount(res.labels))
     val elapsed = (System.nanoTime() - t0) / 1e9
 
     // report shape of my_MPI_cc.cpp:108-116

@@ -20,11 +20,11 @@ object ProfileIterative {
   def main(args: Array[String]): Unit = {
     val reps = Env.int("SPARK_GRAFT_AB_REPS", 3)
     val scale = Env.long("SPARK_GRAFT_BENCH_SCALE", 500000L)
-    val cpus = Env.int("SPARK_GRAFT_CPUS", 32)
+    val (cpus, cores) = Env.cpus("SPARK_GRAFT_CPUS", 32)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-ab-iterative")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

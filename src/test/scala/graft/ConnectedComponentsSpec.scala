@@ -153,6 +153,46 @@ class ConnectedComponentsSpec extends SparkSpec {
     sizes.values.sum shouldBe 6L
   }
 
+  test("component count is folded into the final mapping job (no extra action)") {
+    // r4 verdict Next #4: Bench/CCRun paid a separate countDistinct job
+    // per rep for a number the final mapping materialization already
+    // knows (canonical max labels → components = count(id == label)).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = { // listener events are async
+      var prev = -1; var spins = 0
+      while (jobs.get() != prev && spins < 50) { prev = jobs.get(); Thread.sleep(100); spins += 1 }
+      jobs.get()
+    }
+    val edges = Generators.random(spark, 200, 400, seed = 5L)
+      .collect().map(e => (e.src, e.dst)).toSeq
+    val oracle = oracleOf(edges)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // jobs ≈ actions
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (s <- Seq(CCStrategy.HookAndContract, CCStrategy.SampledContraction)) {
+        val ds = spark.createDataset(edges.map { case (u, v) => Edge(u, v) })
+        val res = ConnectedComponents.run(ds, None, Config(strategy = s))
+        val afterRun = settled()
+        // the folded count is already on the driver: ZERO further jobs
+        res.components shouldBe defined
+        settled() shouldBe afterRun
+        // and it equals the separate countDistinct action (≥1 job)
+        res.components.get shouldBe ConnectedComponents.componentCount(res.labels)
+        settled() should be > afterRun
+        res.components.get shouldBe oracle.values.toSet.size.toLong
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("metrics are recorded per superstep and edges shrink monotonically") {
     val edges = Generators.random(spark, 500, 800, 7L)
     val res = ConnectedComponents.run(edges)

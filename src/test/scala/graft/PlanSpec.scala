@@ -124,6 +124,91 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // ---- AQE-ON guards for the barrier partitioning recovery ------------
+  // The round-4 headline fix exists BECAUSE AQE hides the finalized
+  // plan's partitioning (AdaptiveSparkPlanExec is a leaf reporting
+  // UnknownPartitioning), so testing only with AQE off exercises the
+  // wrong branch of GraftLineage.barrier: with AQE off the checkpoint's
+  // LogicalRDD already carries the right partitioning and the recovery
+  // code (the part that fixes production runs) never executes. These two
+  // tests run under the suite's DEFAULT config (AQE ON) and flip the
+  // legacy knob to prove they discriminate.
+
+  /** All physical nodes including those hidden inside adaptive plans and
+    * query stages (both are leaves to the plain TreeNode traversal). */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def shuffleNodeCount(df: DataFrame): Int =
+    flatten(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan)
+      .count {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _ => false
+      }
+
+  test("AQE ON: barrier recovers HashPartitioning from the finalized adaptive plan (legacy rewrap does not)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftLineage
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true" // suite default
+    def barrierPartitioning(): org.apache.spark.sql.catalyst.plans.physical.Partitioning = {
+      val b = GraftLineage.barrier(
+        spark.range(0, 1000).select($"id", ($"id" * 2).as("x")).repartition(4, $"id"))
+      val part = b.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.outputPartitioning
+        }.head
+      GraftLineage.release(b, blocking = true)
+      part
+    }
+    GraftLineage.legacyRewrap shouldBe false
+    barrierPartitioning() shouldBe a[
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+    // discriminating arm: the round-3 rewrap loses it under AQE
+    GraftLineage.legacyRewrap = true
+    try {
+      barrierPartitioning() should not be a[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+    } finally GraftLineage.legacyRewrap = false
+  }
+
+  test("AQE ON: executed pagerank-shaped iteration shuffles once with the recovery, more without") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftLineage
+    import org.apache.spark.sql.functions.{lit, sum}
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true" // suite default
+    def iterationShuffles(): Int = {
+      val wEdges = GraftLineage.barrier(
+        spark.range(0, 2000)
+          .select(($"id" % 100).as("src"), ($"id" % 97).as("dst"), lit(0.5).as("w"))
+          .repartition(4, $"src"))
+      val ranks = GraftLineage.barrier(
+        spark.range(0, 100).select($"id", lit(0.01).as("rank")).repartition(4, $"id"))
+      val iter = wEdges.as("e").join(ranks.as("r"), $"e.src" === $"r.id")
+        .groupBy($"e.dst".as("id")).agg(sum($"e.w" * $"r.rank").as("contrib"))
+      iter.count() shouldBe 97L // action first: AQE finalizes the plan
+      val n = shuffleNodeCount(iter)
+      GraftLineage.release(wEdges, blocking = true)
+      GraftLineage.release(ranks, blocking = true)
+      n
+    }
+    GraftLineage.legacyRewrap shouldBe false
+    // exactly ONE shuffle: the aggregation's — the barrier'd inputs keep
+    // their hash partitioning through the checkpoint under AQE
+    iterationShuffles() shouldBe 1
+    // legacy rewrap: UnknownPartitioning on both inputs → every iteration
+    // re-shuffles them (the round-3 production defect)
+    GraftLineage.legacyRewrap = true
+    try iterationShuffles() should be > 1
+    finally GraftLineage.legacyRewrap = false
+  }
+
   test("triangle wedge enumeration is an equi-join on the apex (no cartesian/BNLJ)") {
     // shared backbone of triangles / clustering / common-neighbors /
     // adamic-adar: the lo==lo wedge join must plan as an equi-join with
