@@ -345,6 +345,17 @@ object SparkEntry {
           emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // full-corpus kNN: top-3 cosine neighbors for EVERY vector (the
+    // embedding-clustering / semantic-dedup primitive). Below the exact
+    // threshold this is the exact blocked all-pairs path (hash-gated
+    // here); the LSH self-join scale path's recall is measured in
+    // PipelineSpec.
+    "knn_all" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.functions.Similarity.knnAll(emb, k = 3, dim = dim)
+        .orderBy("vec_id", "rank")
+    }),
     // LSH-bucketed ANN (scale path; recall tested in PipelineSpec)
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -717,6 +728,30 @@ object SparkEntry {
         |                       ORDER BY cos DESC, nbr_id ASC) AS rn
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // exact all-pairs ground truth for the full-corpus kNN product —
+    // same list-lambda cosine arithmetic as ann_topk, no query filter
+    "knn_all" ->
+      """WITH q AS (SELECT vec_id, embedding AS qe FROM embeddings),
+        |c AS (SELECT vec_id AS nbr_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT vec_id, nbr_id,
+        |    round(CASE WHEN nq * nc = 0 THEN CAST(0.0 AS DOUBLE)
+        |               ELSE d/(nq*nc) END, 8) AS cos
+        |  FROM (
+        |    SELECT vec_id, nbr_id,
+        |      list_sum(list_transform(list_zip(qe, ce),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d,
+        |      sqrt(list_sum(list_transform(qe,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+        |      sqrt(list_sum(list_transform(ce,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        |    FROM q CROSS JOIN c WHERE vec_id <> nbr_id) s)
+        |SELECT vec_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos FROM (
+        |  SELECT vec_id, nbr_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, nbr_id ASC) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     "cc_text_fixture" ->
       s"""WITH RECURSIVE raw AS (
          |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

@@ -80,17 +80,22 @@ object Similarity {
     * with log2(corpus) to keep per-bucket candidate counts bounded, and
     * compensate with more bands (or multi-probe) for recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, planes: Int = 48, bandBits: Int = 4): DataFrame =
+              dim: Int, planes: Int = 48, bandBits: Int = 0): DataFrame =
    org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
-    val bands = planes / bandBits
-    // Candidate fraction per query ≈ bands/2^bandBits of the corpus. The
-    // 48/4 default is tuned for recall at ~10^3-10^4 corpora and scans a
-    // large fraction by design; at larger corpora that degenerates toward
-    // brute force — raise bandBits with log2(corpus) (see [[bandBitsFor]])
-    // and compensate with more bands. Loud, not silent:
-    val candFraction = bands.toDouble / (1L << bandBits)
+    // bandBits = 0 (the default) self-tunes from the corpus count: one
+    // cheap count() picks bandBitsFor(n), so default invocations keep
+    // per-bucket occupancy (and the candidate volume) bounded as the
+    // corpus grows instead of silently scanning ~75% of it per query.
+    // At the measured-recall scales (≤10^3 vectors) the auto choice is
+    // exactly the old 48/4 default, so the recall curve still applies.
+    val bb = if (bandBits > 0) bandBits else bandBitsFor(corpus.count())
+    val bands = math.max(1, planes / bb)
+    // Candidate fraction per query ≈ bands/2^bandBits of the corpus.
+    // Still possible to hit by pinning bandBits low explicitly — loud,
+    // not silent:
+    val candFraction = bands.toDouble / (1L << bb)
     if (candFraction > 0.25)
-      System.err.println(f"[ann] lshTopK planes=$planes bandBits=$bandBits scans " +
+      System.err.println(f"[ann] lshTopK planes=$planes bandBits=$bb scans " +
         f"~${candFraction * 100}%.0f%% of the corpus per query — fine for small/" +
         "mid corpora, degenerate at scale; raise bandBits toward " +
         "bandBitsFor(corpusCount) and add bands for recall")
@@ -99,8 +104,8 @@ object Similarity {
           srpSignature(col("embedding"), planes, dim).as("sig"))
         .select(col(idName), col(embName),
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            call_function("shiftrightunsigned", col("sig"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)))))
+            call_function("shiftrightunsigned", col("sig"), b * bb)
+              .bitwiseAND(lit((1L << bb) - 1)))))
         .toDF(idName, embName, "band", "bucket")
     // barrier (not persist): tracked by the enclosing scopedBlocks
     val c = org.apache.spark.sql.GraftLineage.barrier(
@@ -133,6 +138,72 @@ object Similarity {
     math.max(4, math.ceil(
       math.log(math.max(1.0, corpusCount.toDouble / targetPerBucket)) /
         math.log(2.0)).toInt)
+
+  /** Full-corpus k-nearest-neighbors by cosine: the top-k neighbor list
+    * for EVERY vector — the embedding-clustering / semantic-dedup
+    * primitive (each vector's cluster seed candidates are its kNN).
+    * Output: (vec_id, rank, nbr_id, cos), rank 1..k, cos rounded to 8 dp,
+    * ties broken by nbr_id.
+    *
+    * Two physical paths behind one contract:
+    *  - corpora ≤ `exactRows`: EXACT blocked all-pairs. One side is
+    *    broadcast (≤ exactRows × dim floats — a few MB), the "join" is a
+    *    broadcast-nested-loop scanned in parallel over corpus partitions,
+    *    and the per-vector top-k is a window over vec_id (reducer
+    *    parallelism = corpus size, not a global funnel). n² work —
+    *    affordable exactly where it is exact.
+    *  - larger corpora: SRP-LSH bucketed SELF-join (bandBitsFor keeps
+    *    per-bucket occupancy bounded; [[graft.plans.Skew.capGroups]] caps
+    *    flooded buckets with its recall-loss signal), exact cosine
+    *    rescoring of candidates, per-vector top-k. Approximate — vectors
+    *    whose true neighbors never share a band are missed; recall vs the
+    *    exact path is measured in PipelineSpec.
+    */
+  def knnAll(corpus: DataFrame, k: Int, dim: Int,
+             exactRows: Long = 10000L,
+             planes: Int = 48, bandBits: Int = 0,
+             maxBucket: Int = 2000): DataFrame =
+   org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
+    val c = org.apache.spark.sql.GraftLineage.barrier(
+      corpus.select(col("vec_id"), col("embedding")))
+    val n = c.count() // reads the barrier — no second scan of the source
+    val scored =
+      if (n <= exactRows) {
+        val q = broadcast(c.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")))
+        c.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+          .join(q, col("query_id") =!= col("nbr_id"))
+          .select(col("query_id"), col("nbr_id"),
+            round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+      } else {
+        val bb = if (bandBits > 0) bandBits else bandBitsFor(n)
+        val bands = math.max(1, planes / bb)
+        val sig = graft.plans.Skew.capGroups(
+          c.select(col("vec_id").as("id"), col("embedding").as("emb"),
+              srpSignature(col("embedding"), planes, dim).as("sig"))
+            .select(col("id"), col("emb"),
+              posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+                call_function("shiftrightunsigned", col("sig"), b * bb)
+                  .bitwiseAND(lit((1L << bb) - 1)))))
+            .toDF("id", "emb", "band", "bucket"),
+          Seq(col("band"), col("bucket")), col("id"), maxBucket)
+        sig.as("a").join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("query_id"), col("b.id").as("nbr_id"),
+            col("a.emb").as("q_emb"), col("b.emb").as("nbr_emb"))
+          .distinct() // a pair can share several bands
+          .select(col("query_id"), col("nbr_id"),
+            round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    org.apache.spark.sql.GraftLineage.barrier(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id").as("vec_id"),
+          col("rank").cast("long").as("rank"), col("nbr_id"), col("cos")))
+   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via LSH buckets — the embedding leg of the dedup suite.

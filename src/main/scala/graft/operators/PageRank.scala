@@ -39,6 +39,19 @@ object PageRank {
 
   final case class Result(ranks: DataFrame, iterations: Int, l1Delta: Double)
 
+  /** Measurement knob (A/B): bake the per-iteration dangling mass into
+    * the plan as a literal — the round-≤4 shape. A changing literal makes
+    * every iteration a NEW plan: Catalyst re-optimizes it and, because
+    * the literal is inlined into the generated Java, every whole-stage
+    * codegen fragment misses the compiled-class cache and pays a fresh
+    * Janino compile — per-iteration driver CPU that scales with driver
+    * contention, not with data. The default carries the scalar as a
+    * one-row broadcast so the generated code is identical across
+    * iterations and only iteration 1 compiles. Mutable so a one-JVM A/B
+    * harness can flip it between passes (graft.tools.ProfileIterative). */
+  @volatile var legacyDmassLiteral: Boolean =
+    sys.env.get("SPARK_GRAFT_PR_DMASS_LITERAL").contains("1")
+
   def run(edges: Dataset[Edge],
           extraVertices: Option[Dataset[Long]] = None,
           cfg: Config = Config()): Result =
@@ -178,13 +191,23 @@ object PageRank {
       // the old rank (for the delta), the restart weight and the
       // dangling flag in one pass. ONE job: materialize the new ranks
       // while observing the L1 delta and the next iteration's dangling
-      // mass.
-      val joined = ranks.as("r")
-        .join(contribs.as("c"), Seq("id"), "left")
-        .select(Seq($"id",
-          (lit(1.0 - cfg.damping) * rw + lit(cfg.damping) *
-            (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * rw)).as("rank"),
-          $"r.rank".as("prev")) ++ rwCols :+ $"dangling": _*)
+      // mass. The scalar dangling mass rides as a broadcast one-row
+      // frame (not a literal) so the iteration plan — and its compiled
+      // codegen — is IDENTICAL every iteration; arithmetic order is
+      // unchanged, so ranks are bit-identical to literal mode.
+      val base = ranks.as("r").join(contribs.as("c"), Seq("id"), "left")
+      val joined =
+        if (legacyDmassLiteral)
+          base.select(Seq($"id",
+            (lit(1.0 - cfg.damping) * rw + lit(cfg.damping) *
+              (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * rw)).as("rank"),
+            $"r.rank".as("prev")) ++ rwCols :+ $"dangling": _*)
+        else
+          base.crossJoin(broadcast(Seq(danglingMass).toDF("dmass")))
+            .select(Seq($"id",
+              (lit(1.0 - cfg.damping) * rw + lit(cfg.damping) *
+                (coalesce($"contrib", lit(0.0)) + $"dmass" * rw)).as("rank"),
+              $"r.rank".as("prev")) ++ rwCols :+ $"dangling": _*)
       val (next, m) = barrierObserved(joined,
         coalesce(sum(abs($"rank" - $"prev")), lit(0.0)).as("delta"),
         coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))

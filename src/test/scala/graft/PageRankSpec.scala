@@ -108,9 +108,13 @@ class PageRankSpec extends SparkSpec {
       }
       // setup = verts barrier + count + wEdges barrier + initial ranks
       // barrier (4 jobs, possibly a few more under AQE); each iteration
-      // must be exactly ONE job. The pre-fix loop ran 3 actions/iter
-      // (dangling agg + delta agg + checkpoint), i.e. ≥30 jobs here.
-      jobs.get() should be <= (10 + 8)
+      // is ONE materialization job plus the one-task collect of the
+      // 1-row dangling-mass broadcast (the price of a plan — and its
+      // compiled codegen — that is IDENTICAL across iterations; a
+      // changing literal re-compiled every stage every iteration). The
+      // pre-round-4 loop ran 3 heavy actions/iter (dangling agg + delta
+      // agg + checkpoint), i.e. ≥30 full-width jobs here.
+      jobs.get() should be <= (10 * 2 + 8)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)

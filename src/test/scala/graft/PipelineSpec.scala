@@ -194,6 +194,36 @@ class PipelineSpec extends SparkSpec {
     ((exact & lsh).size.toDouble / exact.size) should be >= 0.6
   }
 
+  test("knn_all: exact path matches brute force; forced-LSH path clears a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding")).head().getInt(0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2000 vectors < exactRows → the exact blocked all-pairs path
+    val exact = Similarity.knnAll(emb, k = 3, dim = dim)
+    val ex = pairs(exact)
+    ex.size shouldBe 3 * emb.count()
+    // exact path ≡ per-query brute force on a slice (same scoring kernel,
+    // different join/broadcast shape)
+    val bf = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), k = 3)
+      .select($"query_id".as("vec_id"), $"nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ex.filter(_._1 < 20) shouldBe bf
+    // forced LSH self-join path (exactRows = 0): auto bandBits from the
+    // corpus count; capped buckets; recall measured vs the exact truth
+    val lsh = Similarity.knnAll(emb, k = 3, dim = dim, exactRows = 0)
+    val got = pairs(lsh)
+    val recall = (ex & got).size.toDouble / ex.size
+    info(f"knn_all LSH recall@3 at n=2000: $recall%.3f")
+    // mid-cosine neighbors (this corpus: max cos ≈ 0.5) are the HARD
+    // regime for SRP-LSH; measured 0.602 with auto bandBits (5 at
+    // n=2000, deterministic seeded hyperplanes) — the floor guards a
+    // config regression, the measured value goes in BENCH/BASELINE.md
+    recall should be >= 0.45
+    Seq(exact, lsh).foreach(d =>
+      org.apache.spark.sql.GraftLineage.release(d, blocking = true))
+  }
+
   test("vocab top-k and exact rank selection match driver computations") {
     val vocab = TextAnalysis.vocabTopK(docs, $"text", 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
