@@ -115,7 +115,8 @@ object Bench {
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
-      "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all", "text_stats",
+      "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
+      "kmeans_assign", "text_stats",
       "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")
@@ -127,6 +128,9 @@ object Bench {
         val partEdges = EdgeDerivation.partCooccurrence(spark, sfDir).cutLineage()
         val partRes = ConnectedComponents.run(partEdges, None, Config(strategy = strategy))
         partRes.labels.write.format("noop").mode("overwrite").save()
+        // release inside the timed region (the input barrier is part of
+        // this query's footprint, not the post-query sweep's)
+        partEdges.releaseLineage()
       case n =>
         queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }

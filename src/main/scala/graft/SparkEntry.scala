@@ -356,6 +356,15 @@ object SparkEntry {
       graft.functions.Similarity.knnAll(emb, k = 3, dim = dim)
         .orderBy("vec_id", "rank")
     }),
+    // k-means over the embedding corpus (k=4, 4 pinned Lloyd iterations,
+    // deterministic init = k lowest vec_ids) — the semantic-clustering
+    // primitive; gated on the INTEGER final assignments
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.functions.Similarity.kMeans(emb, k = kmeansK, dim = dim,
+        iters = kmeansIters)
+    }),
     // LSH-bucketed ANN (scale path; recall tested in PipelineSpec)
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -412,6 +421,8 @@ object SparkEntry {
   /** Pinned iteration counts for the oracle-gated iterative queries. */
   private val prIters = 12
   private val lpaIters = 20
+  private val kmeansK = 4
+  private val kmeansIters = 4
   /** ppr restart set = vertices with id ≤ this (same predicate in the
     * Spark query and the oracle SQL, so S∩V agrees by construction). */
   private val pprSourceMax = 10L
@@ -575,6 +586,48 @@ object SparkEntry {
        |SELECT id, round(rank, 7) AS rank FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** k-means as an unrolled chain of CTEs mirroring
+    * `Similarity.kMeans` exactly: init = embeddings of the k smallest
+    * vec_ids, squared-L2 assignment with ties to the smaller cluster,
+    * per-(cluster, dim) mean update (empty clusters keep the previous
+    * centroid), `iters` pinned, final INTEGER assignments as output.
+    * Float note: both engines sum doubles in different orders (~1e-13
+    * relative); the gated assignments only depend on argmin, which is
+    * robust at real inter-centroid distances. MATERIALIZED like the
+    * other unrolled oracles (each step is referenced multiple times). */
+  private def kMeansOracleSql(k: Int, iters: Int): String = {
+    def assignSql(cent: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT m.vec_id, m.e, c.cluster,
+         |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(m.e, c.cent),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cluster ASC) AS rn
+         |    FROM emb m CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${assignSql(s"c${t - 1}", s"a$t")},
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+         |      SELECT cluster, i AS dim, avg(e[i]) AS m
+         |      FROM a$t CROSS JOIN dims GROUP BY cluster, i)
+         |    GROUP BY cluster) n USING (cluster))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT unnest(range(1, (SELECT len(e) + 1 FROM emb LIMIT 1))) AS i),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cent
+       |  FROM emb ORDER BY vec_id LIMIT $k),
+       |$steps,
+       |${assignSql(s"c$iters", "afinal")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   /** k-truss by unrolled support-peeling: per step, per-edge triangle
     * support = common-neighbor count via a bidir 3-way join; keep edges
     * with support ≥ k−2. MATERIALIZED for the same reason as the k-core
@@ -728,6 +781,7 @@ object SparkEntry {
         |                       ORDER BY cos DESC, nbr_id ASC) AS rn
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "kmeans_assign" -> kMeansOracleSql(kmeansK, kmeansIters),
     // exact all-pairs ground truth for the full-corpus kNN product —
     // same list-lambda cosine arithmetic as ann_topk, no query filter
     "knn_all" ->

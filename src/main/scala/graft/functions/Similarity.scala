@@ -32,6 +32,26 @@ object Similarity {
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }
 
+  /** dot(a, b) UNROLLED over a statically-known dimension: a chain of
+    * `element_at` products instead of `zip_with`+`aggregate`. Same
+    * left-to-right summation order (bit-identical result), but the
+    * higher-order functions are CodegenFallback — every pair pays
+    * lambda dispatch plus an intermediate array allocation — while this
+    * expansion stays inside whole-stage codegen. On the all-pairs kNN
+    * kernel (4 M pairs × 64 dims at sf0.1) the HOF form measured ~176 s
+    * vs seconds unrolled. Use when `dim` is known (embedding tables);
+    * the HOF forms remain for dynamic-width callers. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** L2 norm, unrolled like [[dotUnrolled]]. */
+  def normUnrolled(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val x = element_at(a, i).cast("double"); x * x
+    }.reduceLeft(_ + _))
+
   /** Exact brute-force cosine top-k: every query row is compared against
     * the whole corpus. Queries are expected to be a small set and are
     * broadcast: the "join" is a broadcast-nested-loop over corpus
@@ -164,37 +184,52 @@ object Similarity {
              planes: Int = 48, bandBits: Int = 0,
              maxBucket: Int = 2000): DataFrame =
    org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
+    // norms precomputed ONCE per row (the HOF cosine() recomputes both
+    // norms per PAIR — 3 non-codegen folds × n² pairs); the pair kernel
+    // is then a single codegen'd unrolled dot product. The corpus is
+    // spread over the full shuffle-partition count FIRST: the work below
+    // is O(n²) in an O(n)-sized table, so inheriting the scan's split
+    // count (often 1 for a small parquet) would serialize the whole
+    // kernel into one task — an n-row shuffle buys n²/p parallelism.
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val c = org.apache.spark.sql.GraftLineage.barrier(
-      corpus.select(col("vec_id"), col("embedding")))
+      corpus.select(col("vec_id"), col("embedding"),
+        normUnrolled(col("embedding"), dim).as("nrm")).repartition(p))
     val n = c.count() // reads the barrier — no second scan of the source
+    def pairCos = {
+      val nn = col("q_nrm") * col("nbr_nrm")
+      round(when(nn === 0.0, lit(0.0))
+        .otherwise(dotUnrolled(col("q_emb"), col("nbr_emb"), dim) / nn), 8)
+    }
     val scored =
       if (n <= exactRows) {
         val q = broadcast(c.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb")))
-        c.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+        c.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
+            col("nrm").as("nbr_nrm"))
           .join(q, col("query_id") =!= col("nbr_id"))
-          .select(col("query_id"), col("nbr_id"),
-            round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+          .select(col("query_id"), col("nbr_id"), pairCos.as("cos"))
       } else {
         val bb = if (bandBits > 0) bandBits else bandBitsFor(n)
         val bands = math.max(1, planes / bb)
         val sig = graft.plans.Skew.capGroups(
           c.select(col("vec_id").as("id"), col("embedding").as("emb"),
+              col("nrm"),
               srpSignature(col("embedding"), planes, dim).as("sig"))
-            .select(col("id"), col("emb"),
+            .select(col("id"), col("emb"), col("nrm"),
               posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
                 call_function("shiftrightunsigned", col("sig"), b * bb)
                   .bitwiseAND(lit((1L << bb) - 1)))))
-            .toDF("id", "emb", "band", "bucket"),
+            .toDF("id", "emb", "nrm", "band", "bucket"),
           Seq(col("band"), col("bucket")), col("id"), maxBucket)
         sig.as("a").join(sig.as("b"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.id") =!= col("b.id"))
           .select(col("a.id").as("query_id"), col("b.id").as("nbr_id"),
-            col("a.emb").as("q_emb"), col("b.emb").as("nbr_emb"))
+            col("a.emb").as("q_emb"), col("b.emb").as("nbr_emb"),
+            col("a.nrm").as("q_nrm"), col("b.nrm").as("nbr_nrm"))
           .distinct() // a pair can share several bands
-          .select(col("query_id"), col("nbr_id"),
-            round(cosine(col("q_emb"), col("nbr_emb")), 8).as("cos"))
+          .select(col("query_id"), col("nbr_id"), pairCos.as("cos"))
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
@@ -204,6 +239,74 @@ object Similarity {
         .select(col("query_id").as("vec_id"),
           col("rank").cast("long").as("rank"), col("nbr_id"), col("cos")))
    }
+
+  /** Lloyd's k-means over the embedding column — the semantic-CLUSTERING
+    * primitive next to [[knnAll]] (cluster ids drive stratified corpus
+    * curation / near-dup group selection at scale).
+    *
+    * Deterministic by construction, so a cross-engine oracle can
+    * reproduce it exactly: init = the embeddings of the k smallest
+    * `vec_id`s; distance = squared L2; assignment ties break toward the
+    * smaller cluster index; `iters` is pinned (no convergence
+    * early-exit) like the pinned-iteration PageRank/LPA gates. Float
+    * noise: Spark and DuckDB both sum doubles (different orders, ~1e-13
+    * relative); assignments only flip if two centroids are equidistant
+    * to ~1e-13, which real embeddings never are — the INTEGER
+    * (vec_id, cluster) table is the gated output, not the centroids.
+    *
+    * Scale design: centroids live on the DRIVER between iterations
+    * (k × dim doubles — trivially bounded) and enter each iteration as a
+    * BROADCAST k-row table, so each iteration is one broadcast join +
+    * one `min_by` hash agg (assignment) + one posexplode/mean hash agg
+    * (update) over the corpus — no corpus shuffle at all; the plan (and
+    * its codegen) is identical every iteration, the lesson of the
+    * PageRank dangling-mass fix. */
+  def kMeans(corpus: DataFrame, k: Int, dim: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kMeans needs k >= 1, iters >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = org.apache.spark.sql.GraftLineage.barrier(
+      corpus.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb")))
+    // init: embeddings of the k smallest ids (deterministic, no RNG)
+    var centroids: Array[(Int, Seq[Double])] = c.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    def centDf() = spark.createDataset(
+        centroids.map { case (i, v) => (i, v) }.toSeq)
+      .toDF("cluster", "cent")
+    def assign() = {
+      val dist = aggregate(zip_with(col("emb"), col("cent"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      c.crossJoin(broadcast(centDf()))
+        .select(col("vec_id"), col("emb"), col("cluster"), dist.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cluster"), col("emb")),
+          struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.emb").as("emb"))
+    }
+    var it = 0
+    while (it < iters) {
+      // update: per-(cluster, dim) mean — k×dim cells, collected to the
+      // driver (bounded); empty clusters keep their previous centroid
+      val means = assign()
+        .select(col("cluster"), posexplode(col("emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.map { case (i, old) => (i, means.getOrElse(i, old)) }
+      it += 1
+    }
+    val out = org.apache.spark.sql.GraftLineage.barrier(
+      assign().select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id"))
+    org.apache.spark.sql.GraftLineage.release(c)
+    out
+  }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via LSH buckets — the embedding leg of the dedup suite.
