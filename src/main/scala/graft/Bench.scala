@@ -110,14 +110,15 @@ object Bench {
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
-      "adamic_adar", "assortativity", "neighbor_jaccard",
+      "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
       "kmeans_assign", "text_stats",
-      "text_lang", "text_quality", "text_jaccard_topk", "vocab_topk",
+      "text_lang", "text_quality", "text_jaccard_topk", "tfidf_topk",
+      "doc_xent", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")
     val queries = SparkEntry.queries

@@ -101,6 +101,15 @@ object SparkEntry {
     "assortativity" -> ((s, dir) =>
       GraphMetrics.degreeAssortativity(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
+    // friend-of-friend link recommendations: top-3 non-adjacent
+    // distance-2 candidates per vertex by common-neighbor count — over
+    // the SPARSE text-fixture graph (the co-occurrence graphs at this SF
+    // are near-cliques where every distance-2 pair is already adjacent,
+    // which would make this gate vacuous)
+    "fof_recs" -> ((s, dir) => {
+      val g = GraphIO.readTextGraph(s, textFixturePath)
+      TriangleCount.fofRecommendations(g.edges, k = 3).orderBy("id", "rank")
+    }),
     // neighborhood Jaccard per edge (embeddedness; 0 = local bridge)
     "neighbor_jaccard" -> ((s, dir) =>
       TriangleCount.neighborhoodJaccard(
@@ -218,6 +227,19 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // per-doc unigram cross-entropy vs the corpus distribution (the
+    // distribution-level quality signal; rare-token-heavy docs high)
+    "doc_xent" -> ((s, dir) =>
+      graft.functions.TextAnalysis.unigramCrossEntropy(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+    // TF-IDF top-3 terms per document (per-doc keyword extraction for
+    // topic balancing; ranked by the 6dp-rounded score so the oracle
+    // ranks identically)
+    "tfidf_topk" -> ((s, dir) =>
+      graft.functions.TextAnalysis.tfIdfTopK(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"), 3)
+        .orderBy("doc_id", "rank")),
     // corpus vocabulary top-100 (Zipf-skewed token agg; map-side combine)
     "vocab_topk" -> ((s, dir) =>
       graft.functions.TextAnalysis.vocabTopK(
@@ -1022,6 +1044,63 @@ object SparkEntry {
          |  GROUP BY e.src, e.dst)
          |SELECT src, dst, CAST(coalesce(c, 0) AS BIGINT) AS common_neighbors
          |FROM e LEFT JOIN cn USING (src, dst) ORDER BY src, dst""".stripMargin,
+    // friend-of-friend recommendations: distance-2 non-adjacent pairs by
+    // common-neighbor count, top-3 per vertex (ties → smaller candidate)
+    "fof_recs" ->
+      s"""WITH raw AS (
+         |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+         |  FROM read_csv('$textFixturePath', sep=' ',
+         |                names=['a','b'], skip=1, header=false)),
+         |e AS (SELECT DISTINCT least(a,b) AS src, greatest(a,b) AS dst
+         |      FROM raw WHERE a <> b),
+         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |cn AS (
+         |  SELECT x.src AS id, y.dst AS cand, count(*) AS cn
+         |  FROM bidir x JOIN bidir y ON x.dst = y.src AND x.src <> y.dst
+         |  GROUP BY x.src, y.dst),
+         |nonadj AS (
+         |  SELECT c.id, c.cand, c.cn FROM cn c
+         |  LEFT JOIN bidir b ON c.id = b.src AND c.cand = b.dst
+         |  WHERE b.src IS NULL)
+         |SELECT id, CAST(rn AS BIGINT) AS rank, cand,
+         |  CAST(cn AS BIGINT) AS common_neighbors FROM (
+         |  SELECT id, cand, cn,
+         |    row_number() OVER (PARTITION BY id
+         |                       ORDER BY cn DESC, cand ASC) AS rn
+         |  FROM nonadj) t
+         |WHERE rn <= 3 ORDER BY id, rn""".stripMargin,
+    // unigram cross-entropy vs corpus: same tokenizer; Σ order differs
+    // across engines (~1e-15 rel) — 6 dp round is the contract
+    "doc_xent" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |corpus AS (SELECT token, count(*) AS cf FROM tk GROUP BY token),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token)
+        |SELECT doc_id,
+        |  round(-sum(tf * ln(cf / (SELECT n FROM total))) / sum(tf), 6) AS xent
+        |FROM tf JOIN corpus USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // TF-IDF: same tokenizer as vocab/token counts; rank by the ROUNDED
+    // score (ties → token asc) exactly like the engine
+    "tfidf_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+        |dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln((SELECT n FROM nn) / df), 6) AS tfidf
+        |  FROM tf JOIN dfx USING (token))
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, tfidf FROM (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM s) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -89,6 +89,62 @@ object TextAnalysis {
     case "en" => 4; case "de" => 3; case "fr" => 2; case _ => 1
   }
 
+  /** TF-IDF top-k terms per document — the per-doc keyword extractor a
+    * curation pipeline uses for topic balancing / near-topic dedup.
+    * tf = in-doc term count, idf = ln(N / df) with N = |docs| and df =
+    * docs containing the term; score rounded to 6 dp and ORDERED BY THE
+    * ROUNDED VALUE (ties → token asc) so a cross-engine oracle ranks
+    * identically even when rounding collapses close scores.
+    *
+    * Scale: one explode + two hash aggs (Zipf head absorbed by map-side
+    * partial aggregation) + a tf⋈df equi-join on token (df is
+    * vocabulary-sized — broadcastable under the session threshold at
+    * real corpus sizes it isn't, and the shuffle join partitions by
+    * token) + a per-doc window (reducer parallelism = #docs). */
+  def tfIdfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tfidf"))
+  }
+
+  /** Per-document unigram cross-entropy vs the corpus distribution:
+    * H(d) = −Σ_t (tf_d(t)/len_d) · ln(cf(t)/total) — the
+    * distribution-level quality signal next to the counter-based
+    * [[qualityScore]] (garbled/boilerplate/outlier docs sit far from
+    * the corpus unigram model; rare-token-heavy docs score HIGH).
+    * 6 dp; docs with zero tokens produce no row (no defined entropy).
+    *
+    * Scale: one token explode feeding two hash aggs (per-(doc,term) tf
+    * and corpus term counts — Zipf head absorbed map-side), one
+    * tf⋈corpus equi-join on token, one final per-doc agg. Float note:
+    * the Σ runs in different orders on different engines (~1e-15
+    * relative) — harmless under the 6 dp round, same contract as
+    * assortativity/adamic-adar. */
+  def unigramCrossEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val total = tk.count()
+    val corpus = tk.groupBy(col("token"))
+      .agg(count(lit(1)).as("cf"))
+    val tf = tk.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(corpus, "token")
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("tf") * log(col("cf") / lit(total.toDouble))) /
+        sum(col("tf")), 6).as("xent"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (ties → token asc) —
     * the skewed-aggregation showcase of the pipeline surface. Token
     * frequency is Zipf by nature, but explode + hash agg needs no

@@ -97,8 +97,16 @@ object ConnectedComponents {
         * local[8] on the 16 M-edge suite; at 100 TB it would shuffle
         * terabytes to resolve a handful of stragglers). 500k rows ≈
         * 16 MB collected — the same driver-memory class as the sampled
-        * strategy's bounded collect. */
-      smallFrontierRows: Long = 500000L,
+        * strategy's bounded collect. Raising this to 1.2 M (so the 16 M
+        * suite's 0.6–1.0 M jump-3 frontier takes the probe) was
+        * A/B-measured in round 5: t2 77.0→75.0 s, t8 35.5→35.7 s —
+        * the probe's O(frontier) driver map build cancels the saved
+        * |f| lookup shuffle once threads can absorb the shuffle, so the
+        * default stays 500k; the env knob remains for low-parallelism
+        * deployments where the trade measured positive.
+        * Env override: SPARK_GRAFT_CC_SMALL_FRONTIER. */
+      smallFrontierRows: Long = graft.Env.long("SPARK_GRAFT_CC_SMALL_FRONTIER",
+        500000L),
       /** Tail rounds at or below this edge count finish on the driver:
         * collect the contracted edges, union-find them locally
         * (reference analogue: master-local prefix CC,

@@ -226,4 +226,40 @@ object TriangleCount {
           .select($"src", $"dst",
             round(coalesce($"aa", lit(0.0)), 6).as("adamic_adar")))
     }
+
+  /** Friend-of-friend recommendations: for each vertex, the top-k
+    * NON-adjacent vertices at distance 2, ranked by common-neighbor
+    * count (ties → smaller candidate id) — the link-prediction product
+    * built on the same common-neighbors signal as [[adamicAdar]], but
+    * over candidate pairs instead of existing edges.
+    *
+    * Scale: candidate volume is Σ deg(m)² over middle vertices m — the
+    * same blow-up class as wedge enumeration; `maxMiddleDeg` drops
+    * middles above a degree ceiling (a celebrity middle contributes a
+    * quadratic candidate set while carrying almost no signal — the
+    * standard recommender mitigation; 0 disables). Adjacent pairs are
+    * removed with one anti-join; per-vertex top-k is a window keyed by
+    * the vertex (reducer parallelism = |V|). */
+  def fofRecommendations(edges: Dataset[Edge], k: Int,
+                         maxMiddleDeg: Long = 0L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir = GraphIO.bidirectional(GraphIO.canonical(edges)).toDF()
+    val in = if (maxMiddleDeg <= 0) bidir else {
+      val deg = bidir.groupBy($"src".as("id"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("dg"))
+      bidir.join(deg.filter($"dg" <= maxMiddleDeg).select($"id".as("dst")), Seq("dst"))
+    }
+    val cand = in.as("x").join(in.as("y"),
+        $"x.dst" === $"y.src" && $"x.src" =!= $"y.dst")
+      .groupBy($"x.src".as("id"), $"y.dst".as("cand"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("common_neighbors"))
+    val nonAdj = cand.join(bidir,
+      cand("id") === bidir("src") && cand("cand") === bidir("dst"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"common_neighbors".desc, $"cand".asc)
+    nonAdj.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"id", $"rank".cast("long").as("rank"), $"cand", $"common_neighbors")
+  }
 }

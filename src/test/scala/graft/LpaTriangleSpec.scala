@@ -420,6 +420,31 @@ class LpaTriangleSpec extends SparkSpec {
     }
   }
 
+  test("fof recommendations: path graph distance-2 pairs; cliques produce none") {
+    import graft.operators.TriangleCount
+    def recs(edges: Seq[(Long, Long)], k: Int = 3): Seq[(Long, Long, Long, Long)] =
+      TriangleCount.fofRecommendations(
+          spark.createDataset(edges.map(e => graft.graph.Edge(e._1, e._2))), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // path 0-1-2-3: distance-2 pairs (0,2) and (1,3), one common neighbor each
+    val path = recs(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    path.toSet shouldBe Set(
+      (0L, 1L, 2L, 1L), (1L, 1L, 3L, 1L), (2L, 1L, 0L, 1L), (3L, 1L, 1L, 1L))
+    // K4: every distance-2 pair is adjacent → no recommendations
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    recs(k4.toSeq) shouldBe empty
+    // two triangles sharing vertex 2: cross-triangle pairs share only 2
+    val bowtie = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val bt = recs(bowtie).toSet
+    bt should contain((0L, 1L, 3L, 1L)) // 0~3 via 2, ties → smaller cand first
+    bt should contain((0L, 2L, 4L, 1L))
+    // middle-degree cap: capping at degree 3 drops every rec through hub 2
+    TriangleCount.fofRecommendations(
+        spark.createDataset(bowtie.map(e => graft.graph.Edge(e._1, e._2))),
+        k = 3, maxMiddleDeg = 3)
+      .collect() shouldBe empty
+  }
+
   test("assortativity: star is perfectly disassortative (-1), chain negative, regular → 0") {
     def got(edges: Seq[(Long, Long)]): Double =
       GraphMetrics.degreeAssortativity(

@@ -224,6 +224,36 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.GraftLineage.release(d, blocking = true))
   }
 
+  test("unigram cross-entropy: closed form on a tiny corpus; zero-token docs absent") {
+    val d = spark.createDataset(Seq(
+      (0L, "a a"), (1L, "b b"), (2L, "a b"), (3L, "   "))).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCrossEntropy(d, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: a×3, b×3, total 6 → p(a)=p(b)=0.5 ⇒ every doc's xent = ln 2
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Map(0L -> ln2, 1L -> ln2, 2L -> ln2) // doc 3: no tokens, no row
+    // rare-token docs score higher: replant with a skewed corpus
+    val d2 = spark.createDataset(Seq(
+      (0L, "a a a a"), (1L, "z"))).toDF("doc_id", "text")
+    val g2 = TextAnalysis.unigramCrossEntropy(d2, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    g2(1L) should be > g2(0L)
+  }
+
+  test("tfidf top-k: corpus-wide terms score zero, doc-unique terms rank first") {
+    val d = spark.createDataset(Seq(
+      (0L, "the cat sat"), (1L, "the dog ran"), (2L, "the the the"))).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopK(d, $"doc_id", $"text", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // 'the' appears in every doc → idf = ln(3/3) = 0 → never outranks a
+    // unique term
+    val top1 = got.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    Set("cat", "sat") should contain(top1(0L))
+    Set("dog", "ran") should contain(top1(1L))
+    top1(2L) shouldBe "the" // only term it has; score 0
+    got.filter(t => t._1 == 2L && t._3 == "the").head._4 shouldBe 0.0
+  }
+
   test("kMeans: planted well-separated clusters are recovered; deterministic across partitioning") {
     // three tight blobs around orthogonal anchors — any correct Lloyd run
     // must co-assign each blob and separate the blobs
