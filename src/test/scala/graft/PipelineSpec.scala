@@ -183,6 +183,21 @@ class PipelineSpec extends SparkSpec {
     e2 shouldBe 1.0 +- 1e-9
   }
 
+  test("auto bandBits keeps default LSH invocations non-degenerate as the corpus grows") {
+    // the degenerate-config warning fires when candFraction = bands/2^bb
+    // exceeds 0.25; with bandBits auto-tuned from the corpus count, a
+    // default (planes = 48) invocation must stay selective at scale
+    def candFraction(n: Long): Double = {
+      val bb = Similarity.bandBitsFor(n)
+      math.max(1, 48 / bb).toDouble / (1L << bb)
+    }
+    Similarity.bandBitsFor(500) shouldBe 4   // = the published-recall config
+    Similarity.bandBitsFor(2000) shouldBe 5
+    Similarity.bandBitsFor(100000) shouldBe 11
+    candFraction(100000) should be < 0.01    // scans <1% of 10^5 vectors
+    candFraction(10000000) should be < 0.001 // and keeps shrinking at 10^7
+  }
+
   test("LSH ANN default config clears a recall floor vs brute force") {
     val qs = embeddings.filter($"vec_id" < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "nbr_id")
