@@ -138,6 +138,14 @@ object SparkEntry {
       GraphMetrics.strength(
         EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir))
         .orderBy("id")),
+    // Newman modularity of the LPA partition (community quality; same
+    // pinned-iteration labels as `lpa`, 6 dp)
+    "modularity" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val labels = graft.operators.LabelPropagation.run(edges,
+        cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters)).labels
+      GraphMetrics.modularity(edges, labels)
+    }),
     // degree histogram (skew diagnostics)
     "degree_histogram" -> ((s, dir) =>
       GraphMetrics.degreeHistogram(EdgeDerivation.supplierCooccurrenceByNation(s, dir))),
@@ -748,6 +756,46 @@ object SparkEntry {
        |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
   }
 
+  /** Modularity of the `iters`-step LPA partition: the exact lpa CTE
+    * chain, then Q = Σ_c [m_c/m − (D_c/2m)·(D_c/2m)] — the squared term
+    * written as a product of the SAME quotient the engine computes, so
+    * the doubles agree bit-for-bit before the 6 dp round. */
+  private def modularityOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""l$t AS (SELECT id, nl AS label FROM (
+         |  SELECT b.dst AS id, l.label AS nl,
+         |    row_number() OVER (PARTITION BY b.dst
+         |                       ORDER BY count(*) DESC, l.label ASC) AS rn
+         |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
+         |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps,
+       |-- MATERIALIZED is load-bearing: lab is referenced three times
+       |-- below, and DuckDB inlines plain CTEs — the 20-step chain above
+       |-- would be re-expanded per reference (exponential; the round-3
+       |-- kcore lesson)
+       |lab AS MATERIALIZED (SELECT id, label FROM l$iters),
+       |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+       |within AS (
+       |  SELECT la.label AS c, count(*) AS mc
+       |  FROM e JOIN lab la ON e.src = la.id
+       |         JOIN lab lb ON e.dst = lb.id AND la.label = lb.label
+       |  GROUP BY la.label),
+       |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
+       |dc AS (SELECT l.label AS c, CAST(sum(d.dg) AS DOUBLE) AS dcv
+       |       FROM lab l JOIN deg d ON l.id = d.id GROUP BY l.label)
+       |SELECT round(sum(
+       |    CAST(coalesce(w.mc, 0) AS DOUBLE) / (SELECT m FROM mm) -
+       |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm))) *
+       |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm)))), 6)
+       |  AS modularity
+       |FROM dc LEFT JOIN within w ON dc.c = w.c""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -780,6 +828,7 @@ object SparkEntry {
          |       LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
          |ORDER BY e.src, e.dst""".stripMargin,
     "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
+    "modularity" -> modularityOracleSql(nationEdgesSql, lpaIters),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

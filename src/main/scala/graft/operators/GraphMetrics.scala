@@ -23,6 +23,41 @@ object GraphMetrics {
     degrees(edges).groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
+  /** Newman modularity of a vertex partition over an undirected graph:
+    * Q = Σ_c [ m_c/m − (D_c/2m)² ] with m = |canonical edges|, m_c =
+    * intra-community edges, D_c = summed degree of the community — the
+    * standard quality metric for a community assignment (pairs with
+    * [[LabelPropagation]]: "did the labels find real structure"). All
+    * inputs are exact integer counts; the final fold is a sum of ≤|C|
+    * doubles (6 dp — cross-engine sum-order noise ~1e-16).
+    *
+    * Scale: two relabel equi-joins (labels table ⋈ edges — broadcast
+    * when small, shuffle otherwise), two hash aggs keyed by community,
+    * one scalar fold. Vertices missing from `labels` count as their own
+    * singleton communities only if present — pass the full label table
+    * (LPA emits every vertex). */
+  def modularity(edges: Dataset[Edge], labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = GraphIO.canonical(edges).toDF()
+    val lab = labels.select($"id", $"label")
+    val m = canon.count().toDouble
+    if (m == 0) return spark.range(1).select(lit(0.0).as("modularity"))
+    val within = canon
+      .join(lab.select($"id".as("src"), $"label".as("ls")), Seq("src"))
+      .join(lab.select($"id".as("dst"), $"label".as("ld")), Seq("dst"))
+      .filter($"ls" === $"ld")
+      .groupBy($"ls".as("c")).agg(count(lit(1)).as("mc"))
+    val dc = degrees(canon.as[Edge])
+      .join(lab, Seq("id"))
+      .groupBy($"label".as("c")).agg(sum($"degree").as("dcv"))
+    dc.join(within, Seq("c"), "left")
+      .select((coalesce($"mc", lit(0L)).cast("double") / lit(m) -
+        ($"dcv".cast("double") / lit(2.0 * m)) *
+          ($"dcv".cast("double") / lit(2.0 * m))).as("q"))
+      .agg(round(sum($"q"), 6).as("modularity"))
+  }
+
   /** A6 — per-partition edge tally (reference: MPI_Gather of slice sizes,
     * `SparseSampling.hpp:169-183`); partition-balance diagnostics. */
   def partitionHistogram(df: DataFrame): DataFrame =

@@ -420,6 +420,25 @@ class LpaTriangleSpec extends SparkSpec {
     }
   }
 
+  test("modularity: closed forms — perfect 2-community split 0.5, one community 0") {
+    import graft.operators.GraphMetrics
+    def q(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]): Double =
+      GraphMetrics.modularity(
+          spark.createDataset(edges.map(e => graft.graph.Edge(e._1, e._2))),
+          spark.createDataset(labels).toDF("id", "label"))
+        .head().getDouble(0)
+    // two disjoint triangles, perfectly partitioned:
+    // Q = 2 · [3/6 − (6/12)²] = 0.5
+    val twoK3 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val perfect = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    q(twoK3, perfect) shouldBe 0.5
+    // everything in one community is always exactly 0: m/m − (2m/2m)²
+    q(twoK3, perfect.map { case (id, _) => id -> 0L }) shouldBe 0.0
+    // deliberately crossed labels score worse than the perfect split
+    val crossed = Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 0L)
+    q(twoK3, crossed) should be < 0.5
+  }
+
   test("fof recommendations: path graph distance-2 pairs; cliques produce none") {
     import graft.operators.TriangleCount
     def recs(edges: Seq[(Long, Long)], k: Int = 3): Seq[(Long, Long, Long, Long)] =
