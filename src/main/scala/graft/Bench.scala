@@ -111,7 +111,8 @@ object Bench {
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
-      "modularity",
+      "modularity", "harmonic_centrality", "closeness_centrality",
+      "eigencentrality",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",

@@ -73,6 +73,24 @@ object SparkEntry {
         s.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("dist")).limit(0)
       else graft.operators.Traversal.hopDistances(edges, srcRow.getLong(0)).orderBy("id")
     }),
+    // seed-restricted harmonic centrality (one multi-source BFS from the
+    // 8 lowest vertex ids; Σ 1/d, 6 dp)
+    "harmonic_centrality" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      graft.operators.Centrality.harmonic(edges, lowestVertexIds(edges, centralitySeedK))
+        .orderBy("id")
+    }),
+    // seed-restricted closeness (same BFS; reached/Σd — exact division)
+    "closeness_centrality" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      graft.operators.Centrality.closeness(edges, lowestVertexIds(edges, centralitySeedK))
+        .orderBy("id")
+    }),
+    // eigenvector centrality (pinned power iterations, L∞ normalization)
+    "eigencentrality" -> ((s, dir) =>
+      graft.operators.Centrality.eigenvector(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir), maxIter = eigenIters)
+        .orderBy("id")),
     // 3-core of the nation graph (iterative degree peeling to fixpoint)
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
@@ -451,6 +469,15 @@ object SparkEntry {
   /** Pinned iteration counts for the oracle-gated iterative queries. */
   private val prIters = 12
   private val lpaIters = 20
+  private val eigenIters = 20
+  private val centralitySeedK = 8
+
+  /** The k lowest vertex ids of an edge set — the deterministic seed set
+    * for the sampled-centrality queries (bounded collect: k rows). */
+  private def lowestVertexIds(edges: org.apache.spark.sql.Dataset[graft.graph.Edge],
+                              k: Int): Seq[Long] =
+    graft.graph.GraphIO.vertices(edges).orderBy("id").limit(k)
+      .collect().toSeq
   private val kmeansK = 4
   private val kmeansIters = 4
   /** ppr restart set = vertices with id ≤ this (same predicate in the
@@ -796,6 +823,44 @@ object SparkEntry {
        |FROM dc LEFT JOIN within w ON dc.c = w.c""".stripMargin
   }
 
+  /** Shared multi-source-BFS CTE prefix for the sampled-centrality
+    * oracles: `dist(source, id, d)` = hop distance from each of the `k`
+    * lowest vertex ids (the engine's seed rule) to every reachable
+    * vertex. Same recursive-walk shape as the bfs_hops oracle. */
+  private def multiSourceBfsCte(edgesSql: String, k: Int): String =
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |seeds AS (SELECT id FROM (SELECT DISTINCT src AS id FROM bidir)
+       |          ORDER BY id LIMIT $k),
+       |walk AS (
+       |  SELECT id AS source, id, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT w.source, b.dst, w.d + 1
+       |  FROM walk w JOIN bidir b ON w.id = b.src WHERE w.d < 64),
+       |dist AS (SELECT source, id, min(d) AS d FROM walk GROUP BY source, id)""".stripMargin
+
+  /** Eigenvector centrality: the engine's exact arithmetic unrolled —
+    * each step divides per TERM by the previous max (so the SQL mirrors
+    * `sum(v / m)` bit-for-bit), max is order-independent, and only the
+    * final output rounds. MATERIALIZED on every step: x_t is referenced
+    * twice (next step + its max) and DuckDB inlines plain CTEs
+    * exponentially (the round-3 kcore lesson). */
+  private def eigenvectorOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""x$t AS MATERIALIZED (
+         |  SELECT b.dst AS id, sum(x.v / (SELECT m FROM m${t - 1})) AS v
+         |  FROM bidir b JOIN x${t - 1} x ON b.src = x.id GROUP BY b.dst),
+         |m$t AS MATERIALIZED (SELECT max(v) AS m FROM x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |x0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS v FROM bidir),
+       |m0 AS (SELECT CAST(1.0 AS DOUBLE) AS m),
+       |$steps
+       |SELECT id, round(v / (SELECT m FROM m$iters), 6) AS score
+       |FROM x$iters ORDER BY id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -829,6 +894,15 @@ object SparkEntry {
          |ORDER BY e.src, e.dst""".stripMargin,
     "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
     "modularity" -> modularityOracleSql(nationEdgesSql, lpaIters),
+    "harmonic_centrality" ->
+      s"""${multiSourceBfsCte(nationEdgesSql, centralitySeedK)}
+         |SELECT id, round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
+         |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
+    "closeness_centrality" ->
+      s"""${multiSourceBfsCte(nationEdgesSql, centralitySeedK)}
+         |SELECT id, CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
+         |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
+    "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.GraftLineage._
+import org.apache.spark.sql.GraftLineage
+import graft.graph.{Edge, GraphIO}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Vertex-centrality operators beyond degree and PageRank — the
+  * closeness/harmonic/eigenvector family a link-graph engine owes its
+  * users (no reference counterpart; the reference is CC-only; semantics
+  * are the textbook definitions, e.g. Newman, "Networks", ch. 7).
+  *
+  * Harmonic and closeness are exact all-pairs quantities (O(V·E) — not
+  * computable at link-graph scale); the standard scale substitute, and
+  * what these implement, is the SEED-RESTRICTED estimate over a small
+  * deterministic source set: distances come from ONE multi-source BFS
+  * ([[Traversal.multiSourceHopDistances]]), so k seeds cost one
+  * traversal with a k×-wider frontier, not k traversals.
+  */
+object Centrality {
+
+  /** Seed-restricted harmonic centrality: h(v) = Σ_{s ∈ seeds, s ≠ v,
+    * d(s,v) < ∞} 1 / d(s,v), rounded to 6 dp. Unreachable seed pairs
+    * contribute 0 (the reason harmonic, not closeness, is the textbook
+    * choice on disconnected graphs). Vertices reached by no seed are
+    * omitted. Scale: one multi-source BFS + one hash agg keyed by id;
+    * the per-term 1/d is exact IEEE on small integer d, and the ≤|seeds|
+    * -term sum is order-noisy only below the 6 dp round. */
+  def harmonic(edges: Dataset[Edge], seeds: Seq[Long],
+               maxHops: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (seeds.isEmpty) // empty graph ⇒ empty seed rule ⇒ empty table
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0.0).as("harmonic")).limit(0)
+    val d = Traversal.multiSourceHopDistances(edges, seeds, maxHops)
+    val out = d.filter($"dist" > 0)
+      .groupBy($"id")
+      .agg(round(sum(lit(1.0) / $"dist".cast("double")), 6).as("harmonic"))
+    val res = barrier(out)
+    GraftLineage.release(d)
+    res
+  }
+
+  /** Seed-restricted closeness: c(v) = r(v) / Σ d(s,v) over the seeds
+    * that reach v (r = how many do), both exact integers — the quotient
+    * is a single IEEE division, bit-reproducible across engines with no
+    * rounding contract. Standard caveat applies: on disconnected graphs
+    * closeness only counts reachable seeds (use [[harmonic]] when that
+    * matters). Same one-BFS + one-agg plan as [[harmonic]]. */
+  def closeness(edges: Dataset[Edge], seeds: Seq[Long],
+                maxHops: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (seeds.isEmpty) // empty graph ⇒ empty seed rule ⇒ empty table
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0.0).as("closeness")).limit(0)
+    val d = Traversal.multiSourceHopDistances(edges, seeds, maxHops)
+    val out = d.filter($"dist" > 0)
+      .groupBy($"id")
+      .agg((count(lit(1)).cast("double") /
+        sum($"dist").cast("double")).as("closeness"))
+    val res = barrier(out)
+    GraftLineage.release(d)
+    res
+  }
+
+  /** Eigenvector centrality by power iteration with L∞ (max)
+    * normalization, pinned to `maxIter` iterations: z_t(v) =
+    * Σ_{u ~ v} z_{t-1}(u) / m_{t-1}, m_t = max_v z_t(v), output
+    * round(z_T / m_T, 6). Max-normalization is the load-bearing choice:
+    * max over doubles is ORDER-INDEPENDENT, so the only cross-engine
+    * float noise is per-vertex neighbor-sum order (~1e-16/iter, absorbed
+    * by the 6 dp round) — an L1/L2 norm would add a global
+    * order-dependent reduction per iteration. Division happens per TERM
+    * inside the sum (not on the sum) so an unrolled SQL oracle can
+    * mirror the arithmetic exactly.
+    *
+    * Scale: the plan is PageRank's (one join + one partial-agg'd hash
+    * agg per iteration, adjacency hash-partitioned by src once, rank
+    * side partitioned by id from its own groupBy); m_t is OBSERVED in
+    * iteration t's materialization job and enters iteration t+1 as a
+    * one-row broadcast, so there is one job per iteration and one
+    * compiled plan for all of them. Isolated vertices don't occur in an
+    * edge-derived vertex set (every vertex has degree ≥ 1). */
+  def eigenvector(edges: Dataset[Edge], maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxIter >= 1, "eigenvector: need at least one iteration")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
+      .toDF("src", "dst")
+      .repartition(p, $"src")
+      .cutLineage()
+    var z = barrier(
+      adj.select($"src".as("id")).distinct()
+        .select($"id", lit(1.0).as("v"))
+        .repartition(p, $"id"))
+    if (z.isEmpty) { // empty edge set → empty score table, not an NPE
+      GraftLineage.release(adj)
+      return z.select($"id", $"v".as("score")).limit(0)
+    }
+    var m = 1.0
+    var iter = 0
+    while (iter < maxIter) {
+      val (next, obs) = barrierObserved(
+        adj.as("e")
+          .join(z.as("x"), $"e.src" === $"x.id")
+          .crossJoin(broadcast(Seq(m).toDF("m")))
+          .groupBy($"e.dst".as("id"))
+          .agg(sum($"x.v" / $"m").as("v")),
+        max($"v").as("mx"))
+      m = obs("mx").asInstanceOf[Double]
+      GraftLineage.release(z)
+      z = next
+      iter += 1
+    }
+    val out = barrier(
+      z.crossJoin(broadcast(Seq(m).toDF("m")))
+        .select($"id", round($"v" / $"m", 6).as("score")))
+    GraftLineage.release(z); GraftLineage.release(adj)
+    out
+  }
+}

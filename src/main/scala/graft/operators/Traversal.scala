@@ -26,14 +26,30 @@ object Traversal {
     * as (id, dist). `maxHops` bounds the loop (diameter guard); vertices
     * beyond it are omitted, like unreachable ones. */
   def hopDistances(edges: Dataset[Edge], source: Long,
-                   maxHops: Int = 64, compactEvery: Int = 8): DataFrame = {
+                   maxHops: Int = 64, compactEvery: Int = 8): DataFrame =
+    multiSourceHopDistances(edges, Seq(source), maxHops, compactEvery)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("dist"))
+
+  /** Hop distances from EVERY vertex of `sources` simultaneously, as
+    * (source, id, dist) — the level-synchronous multi-source BFS that
+    * backs sampled centralities ([[Centrality.harmonic]]/[[Centrality.closeness]]).
+    * One shuffle join per hop regardless of |sources|: the frontier
+    * carries a source column, so k sources cost one traversal whose
+    * frontier is at most k× wider — not k traversals. The visited set is
+    * keyed by (source, id); everything else follows the single-source
+    * plan (per-hop lineage barriers, periodic visited-set compaction,
+    * no broadcast or driver state in the loop). */
+  def multiSourceHopDistances(edges: Dataset[Edge], sources: Seq[Long],
+                              maxHops: Int = 64, compactEvery: Int = 8): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    require(sources.nonEmpty, "multiSourceHopDistances: empty source set")
     scopedBlocks(spark) {
       val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
         .toDF("v", "nbr").cutLineage()
-      var frontier = spark.createDataset(Seq(source)).toDF("id")
-        .withColumn("dist", lit(0L))
+      var frontier = spark.createDataset(sources.distinct).toDF("source")
+        .select($"source", $"source".as("id"), lit(0L).as("dist"))
       var visitedParts = List[DataFrame](frontier)
       var hop = 0
       var frontierSize = 1L
@@ -42,9 +58,9 @@ object Traversal {
         val visited = visitedParts.reduce(_ union _)
         val (next, m) = barrierObserved(
           frontier.join(adj, $"id" === $"v")
-            .select($"nbr".as("id"), lit(hop.toLong).as("dist"))
+            .select($"source", $"nbr".as("id"), lit(hop.toLong).as("dist"))
             .distinct()
-            .join(visited.select($"id"), Seq("id"), "left_anti"),
+            .join(visited.select($"source", $"id"), Seq("source", "id"), "left_anti"),
           count(lit(1)).as("n"))
         frontierSize = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         frontier = next

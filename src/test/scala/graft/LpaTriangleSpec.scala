@@ -439,6 +439,50 @@ class LpaTriangleSpec extends SparkSpec {
     q(twoK3, crossed) should be < 0.5
   }
 
+  test("harmonic/closeness centrality: path-graph closed forms") {
+    import graft.operators.Centrality
+    // path 0-1-2-3, all four vertices as seeds
+    val p4 = spark.createDataset(Seq(Edge(0L, 1L), Edge(1L, 2L), Edge(2L, 3L)))
+    val seeds = Seq(0L, 1L, 2L, 3L)
+    val h = Centrality.harmonic(p4, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // h(0) = 1 + 1/2 + 1/3; h(1) = 1 + 1 + 1/2 (rounded HALF_UP to 6 dp)
+    h(0L) shouldBe 1.833333
+    h(1L) shouldBe 2.5
+    h(2L) shouldBe 2.5
+    h(3L) shouldBe 1.833333
+    val c = Centrality.closeness(p4, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // c(0) = 3/(1+2+3); c(1) = 3/(1+1+2) — exact IEEE quotients
+    c(0L) shouldBe 0.5
+    c(1L) shouldBe 0.75
+    c(2L) shouldBe 0.75
+    c(3L) shouldBe 0.5
+    // disconnected pair: unreachable seeds contribute nothing
+    val twoEdges = spark.createDataset(Seq(Edge(0L, 1L), Edge(10L, 11L)))
+    val h2 = Centrality.harmonic(twoEdges, Seq(0L, 1L, 10L, 11L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    h2 shouldBe Map(0L -> 1.0, 1L -> 1.0, 10L -> 1.0, 11L -> 1.0)
+  }
+
+  test("eigenvector centrality: cliques uniform at 1; paw graph orders hub first") {
+    import graft.operators.Centrality
+    // any clique is eigen-uniform: every iteration is exactly (k-1)·prev/max
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val uniform = Centrality.eigenvector(
+      spark.createDataset(k4.map(e => Edge(e._1, e._2)))).collect()
+    uniform.map(_.getDouble(1)).toSet shouldBe Set(1.0)
+    // paw graph: triangle 0-1-2 with pendant 3 on 0 — hub 0 is the max,
+    // the symmetric pair 1/2 tie strictly between hub and pendant
+    val paw = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L))
+    val s = Centrality.eigenvector(
+      spark.createDataset(paw.map(e => Edge(e._1, e._2)))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    s(0L) shouldBe 1.0
+    s(1L) shouldBe s(2L)
+    assert(s(1L) < 1.0 && s(1L) > s(3L))
+  }
+
   test("fof recommendations: path graph distance-2 pairs; cliques produce none") {
     import graft.operators.TriangleCount
     def recs(edges: Seq[(Long, Long)], k: Int = 3): Seq[(Long, Long, Long, Long)] =
