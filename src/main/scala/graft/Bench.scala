@@ -112,7 +112,7 @@ object Bench {
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "modularity", "harmonic_centrality", "closeness_centrality",
-      "eigencentrality",
+      "eigencentrality", "random_walks",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",

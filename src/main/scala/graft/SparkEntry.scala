@@ -86,6 +86,12 @@ object SparkEntry {
       graft.operators.Centrality.closeness(edges, lowestVertexIds(edges, centralitySeedK))
         .orderBy("id")
     }),
+    // deterministic DeepWalk corpus: 2 walks × 8 steps from every vertex
+    "random_walks" -> ((s, dir) =>
+      graft.operators.Traversal.deterministicWalks(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir),
+        nWalks = walkN, steps = walkSteps)
+        .orderBy("seed", "walk", "step")),
     // eigenvector centrality (pinned power iterations, L∞ normalization)
     "eigencentrality" -> ((s, dir) =>
       graft.operators.Centrality.eigenvector(
@@ -471,6 +477,8 @@ object SparkEntry {
   private val lpaIters = 20
   private val eigenIters = 20
   private val centralitySeedK = 8
+  private val walkN = 2
+  private val walkSteps = 8
 
   /** The k lowest vertex ids of an edge set — the deterministic seed set
     * for the sampled-centrality queries (bounded collect: k rows). */
@@ -861,6 +869,34 @@ object SparkEntry {
        |FROM x$iters ORDER BY id""".stripMargin
   }
 
+  /** Deterministic-walk oracle: the engine's hash step rule verbatim —
+    * all-integer arithmetic (ids reduced mod P before multiplying, no
+    * overflow, no floats), ties broken by smaller neighbor id. Every
+    * step CTE is referenced twice (next step + output union) →
+    * MATERIALIZED. */
+  private def walksOracleSql(edgesSql: String, nWalks: Int, steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT seed, walk, nbr AS vertex FROM (
+         |  SELECT s.seed, s.walk, b.dst AS nbr,
+         |    row_number() OVER (PARTITION BY s.seed, s.walk ORDER BY
+         |      ((b.dst % 1000003) * 48271 + (s.vertex % 1000003) * 16807 +
+         |       s.walk * 69621 + $t * 40503) % 1000003 ASC, b.dst ASC) AS rn
+         |  FROM s${t - 1} s JOIN bidir b ON s.vertex = b.src) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to steps)
+      .map(t => s"SELECT seed, walk, CAST($t AS BIGINT) AS step, vertex FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT v.id AS seed, w.walk, v.id AS vertex
+       |  FROM (SELECT DISTINCT src AS id FROM bidir) v
+       |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS walk FROM range($nWalks)) w),
+       |$stepCtes
+       |$out
+       |ORDER BY seed, walk, step""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -903,6 +939,7 @@ object SparkEntry {
          |SELECT id, CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
          |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
+    "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -80,6 +80,64 @@ object Traversal {
     }
   }
 
+  /** DeepWalk-style walk corpus: `nWalks` walks of `steps` steps from
+    * EVERY vertex, as (seed, walk, step, vertex) — the sentence
+    * generator for skip-gram graph embeddings (Perozzi et al., KDD'14).
+    * The step rule is deterministic pseudo-random: from vertex v the
+    * walk moves to the neighbor u minimizing
+    * `((u % P)·A + (v % P)·B + walk·C + step·D) % P` (P prime, ids
+    * reduced mod P first so the arithmetic never overflows ANSI longs
+    * at any vertex-id scale, ties to the smaller u) — replayable
+    * epoch-to-epoch, diversified across walks/steps by the hash, and
+    * expressible in plain SQL, so the whole corpus is oracle-checkable.
+    * Undirected graphs have no dead ends (the walk arrived over an
+    * incident edge), so every walk has exactly `steps`+1 rows.
+    *
+    * Scale: one equi-join (state ⋈ adjacency, both key-partitioned) +
+    * one min-by hash agg per step — state is |V|·nWalks rows regardless
+    * of step count; per-step lineage barriers, superseded state
+    * released eagerly; the output is the union of per-step barriers. */
+  def deterministicWalks(edges: Dataset[Edge], nWalks: Int = 2,
+                         steps: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(nWalks >= 1 && steps >= 0, "deterministicWalks: bad shape")
+    val (pP, a, b, c, d0) = (1000003L, 48271L, 16807L, 69621L, 40503L)
+    scopedBlocks(spark) {
+      val p = spark.sessionState.conf.numShufflePartitions
+      val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
+        .toDF("v", "nbr").repartition(p, $"v").cutLineage()
+      var state = barrier(
+        adj.select($"v".as("seed")).distinct()
+          .crossJoin(spark.createDataset(0L until nWalks.toLong).toDF("walk"))
+          .select($"seed", $"walk", $"seed".as("vertex"), lit(0L).as("step"))
+          .repartition(p, $"seed", $"walk"))
+      var parts = List[DataFrame](state)
+      var t = 0
+      while (t < steps) {
+        t += 1
+        val next = barrier(
+          state.join(adj, $"vertex" === $"v")
+            .select($"seed", $"walk",
+              struct(
+                pmod(($"nbr" % pP) * a + ($"vertex" % pP) * b +
+                  $"walk" * c + lit(t.toLong) * d0, lit(pP)).as("score"),
+                $"nbr".as("vertex")).as("sv"))
+            .groupBy($"seed", $"walk")
+            .agg(min($"sv").as("m"))
+            .select($"seed", $"walk", $"m.vertex".as("vertex"),
+              lit(t.toLong).as("step")))
+        state = next
+        parts ::= next
+      }
+      val out = barrier(parts.reverse.reduce(_ union _)
+        .select($"seed", $"walk", $"step", $"vertex"))
+      parts.foreach(release(_))
+      adj.releaseLineage()
+      out
+    }
+  }
+
   /** Vertices of the k-core: the maximal subgraph in which every vertex
     * has degree ≥ k, by iterative peeling — recompute degrees, drop
     * vertices under k, drop their edges, repeat to fixpoint. One degree

@@ -483,6 +483,33 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("deterministic walks: shape, adjacency, replayability") {
+    import graft.operators.Traversal
+    val k4 = spark.createDataset(Seq(
+      Edge(0L, 1L), Edge(0L, 2L), Edge(0L, 3L),
+      Edge(1L, 2L), Edge(1L, 3L), Edge(2L, 3L)))
+    val w = Traversal.deterministicWalks(k4, nWalks = 2, steps = 5)
+    val rows = w.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every (seed, walk) emits exactly steps+1 rows, starting at the seed
+    rows.length shouldBe 4 * 2 * 6
+    rows.filter(_._3 == 0L).foreach { case (seed, _, _, v) => v shouldBe seed }
+    // consecutive vertices are adjacent and never equal (no self-loops)
+    val byWalk = rows.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4)).toMap
+    val adj = Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    byWalk.values.foreach(path =>
+      path.sliding(2).foreach(p => adj should contain((p(0), p(1)))))
+    // replay: a second run is row-identical
+    Traversal.deterministicWalks(k4, nWalks = 2, steps = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted shouldBe rows.sorted
+    // the two walks from the same seed diverge somewhere (the hash
+    // varies with the walk id)
+    assert((0L to 3L).exists(s => byWalk((s, 0L)) != byWalk((s, 1L))))
+  }
+
   test("fof recommendations: path graph distance-2 pairs; cliques produce none") {
     import graft.operators.TriangleCount
     def recs(edges: Seq[(Long, Long)], k: Int = 3): Seq[(Long, Long, Long, Long)] =
