@@ -97,6 +97,52 @@ object SparkEntry {
       graft.operators.Centrality.eigenvector(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir), maxIter = eigenIters)
         .orderBy("id")),
+    // HITS hubs/authorities over the DIRECTED customer→supplier graph
+    // (pinned alternating updates, per-side L∞ normalization)
+    "hits" -> ((s, dir) =>
+      graft.operators.Centrality.hits(
+        EdgeDerivation.customerSupplierDirected(s, dir), maxIter = hitsIters)
+        .orderBy("kind", "id")),
+    // ---- temporal/events family (Temporal.scala) ----
+    // gap-based sessionization (30-min inactivity splits)
+    "sessions" -> ((s, dir) =>
+      graft.operators.Temporal.sessionize(readEvents(s, dir))
+        .orderBy("user_id", "session_id")),
+    // as-of join: each click ↤ latest view at-or-before it, per user;
+    // -1 marks "no prior view" (nulls don't survive the hash compare)
+    "asof_view_click" -> ((s, dir) =>
+      graft.operators.Temporal.asofJoin(readEvents(s, dir), "view", "click")
+        .select(col("user_id"), col("right_id"), col("right_us"),
+          coalesce(col("left_id"), lit(-1L)).as("left_id"),
+          coalesce(col("left_us"), lit(-1L)).as("left_us"))
+        .orderBy("user_id", "right_id")),
+    // ordered view→click→purchase funnel (strict-ts chains per user)
+    "event_funnel" -> ((s, dir) =>
+      graft.operators.Temporal.funnel(readEvents(s, dir), funnelStages)
+        .orderBy("stage")),
+    // hour × type rollup with exact distinct users
+    "events_hourly" -> ((s, dir) =>
+      graft.operators.Temporal.hourlyRollup(readEvents(s, dir))
+        .orderBy("hour_us", "event_type")),
+    // exponential time-decay activity score (7-day half-life, pinned
+    // as-of epoch so runs reproduce)
+    "user_decay" -> ((s, dir) =>
+      graft.operators.Temporal.decayedActivity(readEvents(s, dir), decayAsOfUs)
+        .orderBy("user_id")),
+    // histogram of the integer JSON property props.k
+    "props_hist" -> ((s, dir) =>
+      graft.operators.Temporal.propsHistogram(readEvents(s, dir), "k")
+        .orderBy("k")),
+    // CC over purchase co-activity edges (10-min tumbling buckets) —
+    // the batch twin of the streaming windowed co-occurrence, fed to
+    // the same CC machinery as every other graph
+    "cc_coactivity" -> ((s, dir) => {
+      import s.implicits._
+      val edges = graft.operators.Temporal
+        .coactivityEdges(readEvents(s, dir), "purchase")
+        .as[graft.graph.Edge]
+      ConnectedComponents.run(edges, None, Config()).labels.toDF().orderBy("id")
+    }),
     // 3-core of the nation graph (iterative degree peeling to fixpoint)
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
@@ -476,6 +522,14 @@ object SparkEntry {
   private val prIters = 12
   private val lpaIters = 20
   private val eigenIters = 20
+  private val hitsIters = 12
+  private val funnelStages = Seq("view", "click", "purchase")
+  /** pinned "now" for the decayed-activity query: 2024-02-01T00:00Z
+    * (the synthetic event log starts 2024-01-01) — epoch micros. */
+  private val decayAsOfUs = 1706745600000000L
+  private val decayHalfLifeDays = 7.0
+  private def readEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
   private val centralitySeedK = 8
   private val walkN = 2
   private val walkSteps = 8
@@ -506,6 +560,24 @@ object SparkEntry {
       |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       |JOIN supplier sb ON b.l_suppkey = sb.s_suppkey
       |WHERE sa.s_nationkey = sb.s_nationkey AND a.l_suppkey < b.l_suppkey""".stripMargin
+
+  /** Directed customer→supplier order edges (mirrors
+    * `EdgeDerivation.customerSupplierDirected`). */
+  private val custSuppDirectedSql =
+    """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
+
+  /** Purchase co-activity edges in 10-min tumbling buckets (mirrors
+    * `Temporal.coactivityEdges`; `//` = DuckDB integral division, the
+    * exact twin of Spark's `div`). The engine's 1000-user hot-bucket
+    * cap is inactive at oracle scale (≤ a handful of users/bucket). */
+  private val coactivityEdgesSql =
+    """SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |FROM (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
+      |      FROM events WHERE event_type = 'purchase') a
+      |JOIN (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
+      |      FROM events WHERE event_type = 'purchase') b
+      |  ON a.b = b.b AND a.user_id < b.user_id""".stripMargin
 
   /** Weighted same-nation co-occurrence edges: weight = distinct shared
     * orders (mirrors `EdgeDerivation.supplierCooccurrenceWeightedByNation`). */
@@ -869,6 +941,35 @@ object SparkEntry {
        |FROM x$iters ORDER BY id""".stripMargin
   }
 
+  /** HITS oracle: the engine's alternating updates verbatim — per-term
+    * division by the previous side's max (order-independent), pinned
+    * iterations, per-side L∞ scaling, 6 dp round. h0 is uniform 1.0
+    * over distinct sources; every step CTE is referenced twice (next
+    * update + possibly output) → MATERIALIZED. */
+  private def hitsOracleSql(directedEdgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT e.dst AS id, sum(h.v / (SELECT m FROM mh${t - 1})) AS v
+         |  FROM e JOIN h${t - 1} h ON e.src = h.id GROUP BY e.dst),
+         |ma$t AS MATERIALIZED (SELECT max(v) AS m FROM a$t),
+         |h$t AS MATERIALIZED (
+         |  SELECT e.src AS id, sum(a.v / (SELECT m FROM ma$t)) AS v
+         |  FROM e JOIN a$t a ON e.dst = a.id GROUP BY e.src),
+         |mh$t AS MATERIALIZED (SELECT max(v) AS m FROM h$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($directedEdgesSql),
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS v FROM e),
+       |mh0 AS (SELECT CAST(1.0 AS DOUBLE) AS m),
+       |$steps
+       |SELECT id, kind, score FROM (
+       |  SELECT id, 'hub' AS kind,
+       |    round(v / (SELECT m FROM mh$iters), 6) AS score FROM h$iters
+       |  UNION ALL
+       |  SELECT id, 'auth' AS kind,
+       |    round(v / (SELECT m FROM ma$iters), 6) AS score FROM a$iters)
+       |ORDER BY kind, id""".stripMargin
+  }
+
   /** Deterministic-walk oracle: the engine's hash step rule verbatim —
     * all-integer arithmetic (ids reduced mod P before multiplying, no
     * overflow, no floats), ties broken by smaller neighbor id. Every
@@ -939,6 +1040,85 @@ object SparkEntry {
          |SELECT id, CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
          |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
+    "hits" -> hitsOracleSql(custSuppDirectedSql, hitsIters),
+    "sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    // independent formulation on purpose: argmax inequality join, not
+    // the engine's union+running-last scan
+    "asof_view_click" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.user_id, c.event_id AS right_id, c.us AS right_us,
+        |         v.event_id AS left_id, v.us AS left_us,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY v.us DESC, v.event_id DESC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id AND v.us <= c.us)
+        |SELECT user_id, right_id, right_us, left_id, left_us
+        |FROM j WHERE rn = 1
+        |UNION ALL
+        |SELECT c.user_id, c.event_id, c.us,
+        |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM c WHERE NOT EXISTS (
+        |  SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.us <= c.us)
+        |ORDER BY user_id, right_id""".stripMargin,
+    "event_funnel" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT user_id, min(us) AS t FROM f
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT f.user_id, min(f.us) AS t FROM f
+        |       JOIN s0 ON f.user_id = s0.user_id AND f.us > s0.t
+        |       WHERE f.event_type = 'click' GROUP BY f.user_id),
+        |s2 AS (SELECT f.user_id, min(f.us) AS t FROM f
+        |       JOIN s1 ON f.user_id = s1.user_id AND f.us > s1.t
+        |       WHERE f.event_type = 'purchase' GROUP BY f.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'view' AS stage_name,
+        |         CAST(count(*) AS BIGINT) AS users FROM s0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2)
+        |ORDER BY stage""".stripMargin,
+    "events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "user_decay" -> {
+      val lambda = math.log(2.0) / (decayHalfLifeDays * 86400.0 * 1000000.0)
+      val negL = java.lang.Double.toString(-lambda)
+      s"""SELECT user_id, round(sum(value * exp(
+         |    CAST($negL AS DOUBLE) *
+         |    CAST($decayAsOfUs - epoch_us(ts) AS DOUBLE))), 6) AS score
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "props_hist" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cc_coactivity" -> ccOracleSql(coactivityEdgesSql),
     "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -122,4 +122,73 @@ object Centrality {
     GraftLineage.release(z); GraftLineage.release(adj)
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg '99) over a DIRECTED edge table
+    * (src, dst), pinned to `maxIter` alternating updates with the same
+    * L∞-per-side normalization trick as [[eigenvector]]:
+    * a_t(d) = Σ_{s→d} h_{t-1}(s)/mh_{t-1}, then
+    * h_t(s) = Σ_{s→d} a_t(d)/ma_t — division per TERM, max observed in
+    * the update's own materialization job, carried into the next update
+    * as a one-row broadcast. Output is (id, kind, score) with kind ∈
+    * {hub, auth}, each side scaled to max 1 and rounded to 6 dp.
+    * Vertices with no out-edges have no hub row (resp. in/auth) — on a
+    * bipartite order graph that is exactly the two natural sides.
+    *
+    * Scale: the edge table is materialized twice, hash-partitioned by
+    * src and by dst, so BOTH alternating joins are co-partitioned with
+    * the score table the previous aggregation produced — two
+    * shuffle-free joins + two partial-agg'd hash aggs per iteration,
+    * one job per update, one compiled plan for all iterations. */
+  def hits(directed: DataFrame, maxIter: Int = 12): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    require(maxIter >= 1, "hits: need at least one iteration")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val dedup = directed.select($"src", $"dst").distinct()
+    val eBySrc = dedup.repartition(p, $"src").cutLineage()
+    val eByDst = dedup.repartition(p, $"dst").cutLineage()
+    var hub = barrier(
+      eBySrc.select($"src".as("id")).distinct()
+        .select($"id", lit(1.0).as("v"))
+        .repartition(p, $"id"))
+    if (hub.isEmpty) { // empty edge set → empty score table
+      GraftLineage.release(eBySrc); GraftLineage.release(eByDst)
+      return hub.select($"id", lit("hub").as("kind"), $"v".as("score")).limit(0)
+    }
+    var mh = 1.0
+    var auth: DataFrame = null
+    var ma = 1.0
+    var iter = 0
+    while (iter < maxIter) {
+      val (a2, obsA) = barrierObserved(
+        eBySrc.as("e")
+          .join(hub.as("h"), $"e.src" === $"h.id")
+          .crossJoin(broadcast(Seq(mh).toDF("m")))
+          .groupBy($"e.dst".as("id"))
+          .agg(sum($"h.v" / $"m").as("v")),
+        max($"v").as("mx"))
+      if (auth != null) GraftLineage.release(auth)
+      auth = a2
+      ma = obsA("mx").asInstanceOf[Double]
+      val (h2, obsH) = barrierObserved(
+        eByDst.as("e")
+          .join(auth.as("a"), $"e.dst" === $"a.id")
+          .crossJoin(broadcast(Seq(ma).toDF("m")))
+          .groupBy($"e.src".as("id"))
+          .agg(sum($"a.v" / $"m").as("v")),
+        max($"v").as("mx"))
+      GraftLineage.release(hub)
+      hub = h2
+      mh = obsH("mx").asInstanceOf[Double]
+      iter += 1
+    }
+    val out = barrier(
+      hub.crossJoin(broadcast(Seq(mh).toDF("m")))
+        .select($"id", lit("hub").as("kind"), round($"v" / $"m", 6).as("score"))
+        .union(auth.crossJoin(broadcast(Seq(ma).toDF("m")))
+          .select($"id", lit("auth").as("kind"), round($"v" / $"m", 6).as("score"))))
+    GraftLineage.release(hub); GraftLineage.release(auth)
+    GraftLineage.release(eBySrc); GraftLineage.release(eByDst)
+    out
+  }
 }

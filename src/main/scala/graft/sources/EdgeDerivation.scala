@@ -75,6 +75,21 @@ object EdgeDerivation {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** customer → supplier DIRECTED edges (customer ordered from
+    * supplier) — the bipartite directed graph behind the HITS query.
+    * Distinct pairs; the id spaces overlap numerically, which is fine:
+    * the directed operators key hubs and authorities separately. */
+  def customerSupplierDirected(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey")
+    o.join(li, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+  }
+
   /** part ↔ part edges when two parts co-occur in an order — the larger
     * derived graph (thousands of vertices at bench scale). */
   def partCooccurrence(spark: SparkSession, sfDir: String): Dataset[Edge] = {

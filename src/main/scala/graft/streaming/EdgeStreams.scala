@@ -98,6 +98,24 @@ object EdgeStreams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Temporal.sessionize]]: per-user
+    * gap sessions via Spark's native `session_window` (merging windowed
+    * state, watermark-expired). Emits one row per CLOSED session:
+    * (user_id, session_start, session_end, n_events, sum_value).
+    * Contract difference vs the batch operator, by session_window's
+    * definition: `session_end` = last event + gap (the close time), not
+    * the last event's ts, and sessions only emit once the watermark
+    * passes their close — the standard streaming trade. State per key is
+    * one interval + two counters; no per-event retention. */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Count of distinct edges per event-time window (append-mode windowed
     * agg with watermark — the progress/metrics stream). */
   def edgesPerWindow(edges: DataFrame, tsCol: String,

@@ -483,6 +483,26 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("HITS: bipartite hubs/authorities rank by coverage; sides are disjoint") {
+    import graft.operators.Centrality
+    import spark.implicits._
+    // 0 points at both authorities, 1 at one → hub 0 is the max;
+    // 10 is cited by both hubs, 11 by one → auth 10 is the max
+    val e = Seq((0L, 10L), (0L, 11L), (1L, 10L)).toDF("src", "dst")
+    val s = Centrality.hits(e).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    s(("hub", 0L)) shouldBe 1.0
+    s(("auth", 10L)) shouldBe 1.0
+    assert(s(("hub", 1L)) < 1.0 && s(("hub", 1L)) > 0.0)
+    assert(s(("auth", 11L)) < 1.0 && s(("auth", 11L)) > 0.0)
+    // only sources get hub rows, only targets get auth rows
+    s.keys.filter(_._1 == "hub").map(_._2).toSet shouldBe Set(0L, 1L)
+    s.keys.filter(_._1 == "auth").map(_._2).toSet shouldBe Set(10L, 11L)
+    // empty input → empty output, not an NPE
+    Centrality.hits(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .count() shouldBe 0L
+  }
+
   test("deterministic walks: shape, adjacency, replayability") {
     import graft.operators.Traversal
     val k4 = spark.createDataset(Seq(

@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.adaptive.enabled", was)
   }
 
+  test("temporal family: sessionize and asofJoin shuffle exactly once (by user_id)") {
+    // the whole family's 100TB contract: ONE hash shuffle keyed by
+    // user_id, then windows/aggs run co-partitioned. sessionize's final
+    // groupBy(user_id, session_id) must be satisfied by the window's
+    // user_id partitioning (subset rule), not re-shuffled; asofJoin's
+    // union+running-last formulation must not plan an inequality join.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    withAqeOff {
+      exchanges(graft.operators.Temporal.sessionize(events)).size shouldBe 1
+      val asof = graft.operators.Temporal.asofJoin(events, "view", "click")
+      exchanges(asof).size shouldBe 1
+      planOf(asof) should not include "NestedLoop"
+    }
+  }
+
   test("barrier preserves hash partitioning: join of two barrier'd pre-partitioned tables has zero Exchanges") {
     // Round-3 judge repro (VERDICT r3 finding #1): the old rewrap built a
     // LogicalRDD with UnknownPartitioning, so this join planned an

@@ -52,6 +52,34 @@ class StreamingSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: session_window sessions close at the gap and match batch splits") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val sessions = EdgeStreams.streamingSessions(events,
+      gap = "30 minutes", watermark = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, min: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+      // user 1: two events 10min apart (one session), then a 40-min gap
+      // event (second session); user 2: one event
+      in.addData((t(10, 0), 1L, 1.0), (t(10, 10), 1L, 2.0),
+        (t(10, 50), 1L, 4.0), (t(10, 0), 2L, 8.0))
+      q.processAllAvailable()
+      // push the watermark far past every session's close time
+      in.addData((t(14, 0), 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      // user 1 splits exactly like the batch operator: {0,10} | {50}
+      got.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSet shouldBe
+        Set((t(10, 0), 2L, 3.0), (t(10, 50), 1L, 4.0))
+      got.filter(_._1 == 2L).map(x => (x._2, x._3, x._4)).toSet shouldBe
+        Set((t(10, 0), 1L, 8.0))
+    } finally q.stop()
+  }
+
   test("streaming: hot event_type flood stays bounded; cold planted pair intact") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.operators.Temporal
+
+/** Unit tests for the temporal/events family (Temporal.scala) on tiny
+  * hand-computed event logs. The sf0.01 parquet versions are gated by
+  * the DuckDB oracle through SparkEntry; these pin the edge semantics
+  * (gap boundaries, as-of ties, strict funnel chains, bucket edges). */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_id, minutesFromEpoch, user, type, value) → events frame. */
+  private def ev(rows: (Long, Long, Long, String, Double)*): DataFrame =
+    rows.map { case (id, m, u, t, v) =>
+      (id, new Timestamp(m * 60000L), u, t, v, s"""{"k": ${id % 3}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionize: gap strictly over 30min splits; exact 30min does not") {
+    val e = ev(
+      (0L, 0L, 1L, "view", 1.0),
+      (1L, 30L, 1L, "click", 2.0),  // gap == 30min → same session
+      (2L, 61L, 1L, "view", 3.0),   // gap 31min → new session
+      (3L, 61L, 2L, "view", 4.0))   // other user → own session
+    val s = Temporal.sessionize(e, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    s((1L, 1L)) shouldBe ((0L, 30L * 60000000L, 2L, 3.0))
+    s((1L, 2L)) shouldBe ((61L * 60000000L, 61L * 60000000L, 1L, 3.0))
+    s((2L, 1L)) shouldBe ((61L * 60000000L, 61L * 60000000L, 1L, 4.0))
+    s.size shouldBe 3
+  }
+
+  test("asofJoin: backward lookup, equal-ts visible, max id on ties, null before first") {
+    val e = ev(
+      (0L, 10L, 1L, "view", 0.0),
+      (1L, 10L, 1L, "view", 0.0),   // same-ts views → larger id wins
+      (2L, 10L, 1L, "click", 0.0),  // click AT view ts → sees view 1
+      (3L, 5L, 1L, "click", 0.0),   // click before any view → null left
+      (4L, 20L, 2L, "click", 0.0))  // user with no views at all → null
+    val a = Temporal.asofJoin(e, "view", "click").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    a shouldBe Map(2L -> 1L, 3L -> -1L, 4L -> -1L)
+  }
+
+  test("funnel: strict-ts chains; same-ts pair does not advance; later re-entry does") {
+    val e = ev(
+      // user 1: full chain view(0) < click(5) < purchase(9)
+      (0L, 0L, 1L, "view", 0.0), (1L, 5L, 1L, "click", 0.0),
+      (2L, 9L, 1L, "purchase", 0.0),
+      // user 2: click at SAME ts as view → chain stalls at view;
+      // purchase later can't count without a click strictly after view
+      (3L, 0L, 2L, "view", 0.0), (4L, 0L, 2L, "click", 0.0),
+      (5L, 9L, 2L, "purchase", 0.0),
+      // user 3: click BEFORE view, then a second click after → reaches click
+      (6L, 5L, 3L, "click", 0.0), (7L, 6L, 3L, "view", 0.0),
+      (8L, 7L, 3L, "click", 0.0),
+      // user 4: purchase only → reaches nothing
+      (9L, 1L, 4L, "purchase", 0.0))
+    val f = Temporal.funnel(e, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    f shouldBe Map(0L -> 3L, 1L -> 2L, 2L -> 1L)
+  }
+
+  test("hourlyRollup and propsHistogram: exact counts") {
+    val e = ev(
+      (0L, 0L, 1L, "view", 1.5), (1L, 59L, 2L, "view", 2.5),
+      (2L, 60L, 1L, "view", 4.0), (3L, 61L, 1L, "click", 8.0))
+    val h = Temporal.hourlyRollup(e).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    h((0L, "view")) shouldBe ((2L, 2L, 4.0))
+    h((3600000000L, "view")) shouldBe ((1L, 1L, 4.0))
+    h((3600000000L, "click")) shouldBe ((1L, 1L, 8.0))
+    val p = Temporal.propsHistogram(e, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p shouldBe Map(0L -> 2L, 1L -> 1L, 2L -> 1L) // ids 0,3 / 1 / 2 mod 3
+  }
+
+  test("decayedActivity: half-life halves; as-of pins the clock") {
+    val day7 = 7L * 24 * 60
+    val e = ev((0L, 0L, 1L, "view", 8.0), (1L, day7, 2L, "view", 8.0))
+    val asOf = day7 * 60000000L // "now" = exactly the second event's ts
+    val d = Temporal.decayedActivity(e, asOf, halfLifeDays = 7.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    d(2L) shouldBe 8.0 // zero age
+    d(1L) shouldBe 4.0 +- 1e-6 // one half-life old
+  }
+
+  test("coactivityEdges: same bucket+type pairs only; boundary starts a new bucket") {
+    val e = ev(
+      (0L, 0L, 1L, "purchase", 0.0), (1L, 9L, 2L, "purchase", 0.0),
+      (2L, 10L, 3L, "purchase", 0.0),  // exactly at the next bucket edge
+      (3L, 11L, 4L, "purchase", 0.0),
+      (4L, 0L, 5L, "view", 0.0))       // other type never pairs
+    val edges = Temporal.coactivityEdges(e, "purchase", bucketMinutes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges shouldBe Set((1L, 2L), (3L, 4L))
+  }
+}
