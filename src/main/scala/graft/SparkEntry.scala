@@ -143,6 +143,14 @@ object SparkEntry {
         .as[graft.graph.Edge]
       ConnectedComponents.run(edges, None, Config()).labels.toDF().orderBy("id")
     }),
+    // SCC over ts-ordered DIRECTED purchase co-activity (earlier first
+    // buyer → later within a bucket; order flips across buckets give
+    // real cycles) — trim + forward-max coloring + backward mark
+    "scc_coactivity" -> ((s, dir) =>
+      graft.operators.StronglyConnected.scc(
+        graft.operators.Temporal.coactivityDirectedEdges(
+          readEvents(s, dir), "purchase"))
+        .orderBy("id")),
     // 3-core of the nation graph (iterative degree peeling to fixpoint)
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
@@ -578,6 +586,20 @@ object SparkEntry {
       |JOIN (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
       |      FROM events WHERE event_type = 'purchase') b
       |  ON a.b = b.b AND a.user_id < b.user_id""".stripMargin
+
+  /** Directed version (mirrors `Temporal.coactivityDirectedEdges`):
+    * earlier first-purchase → later within a bucket, ties by user_id.
+    * The strict inequalities exclude self-loops by construction. */
+  private val coactivityDirectedEdgesSql =
+    """SELECT DISTINCT a.user_id AS src, c.user_id AS dst
+      |FROM (SELECT epoch_us(ts) // 600000000 AS b, user_id,
+      |             min(epoch_us(ts)) AS first_us
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) a
+      |JOIN (SELECT epoch_us(ts) // 600000000 AS b, user_id,
+      |             min(epoch_us(ts)) AS first_us
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) c
+      |  ON a.b = c.b AND (a.first_us < c.first_us OR
+      |     (a.first_us = c.first_us AND a.user_id < c.user_id))""".stripMargin
 
   /** Weighted same-nation co-occurrence edges: weight = distinct shared
     * orders (mirrors `EdgeDerivation.supplierCooccurrenceWeightedByNation`). */
@@ -1119,6 +1141,20 @@ object SparkEntry {
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cc_coactivity" -> ccOracleSql(coactivityEdgesSql),
+    // SCC ground truth = mutual reachability (v→u AND u→v); label =
+    // max id in the SCC, the engine's canonical-label contract
+    "scc_coactivity" ->
+      s"""WITH RECURSIVE e AS ($coactivityDirectedEdgesSql),
+         |verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |mut AS (SELECT r1.a AS v, r1.b AS u
+         |        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+         |SELECT v.id, CAST(greatest(v.id, coalesce(max(m.u), v.id)) AS BIGINT) AS label
+         |FROM verts v LEFT JOIN mut m ON v.id = m.v
+         |GROUP BY v.id ORDER BY v.id""".stripMargin,
     "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.GraftLineage
+import org.apache.spark.sql.GraftLineage._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components over a DIRECTED edge table (src, dst),
+  * by Trim + Forward-Max-Coloring + Backward-Mark — the standard
+  * distributed SCC decomposition (Slota/Rajamanickam/Madduri PPoPP'14
+  * "BFS and Coloring-Based Parallel Algorithms for Strongly Connected
+  * Components"; Orzan's coloring). Output: (id, label) with
+  * label = MAX vertex id in the SCC — the same canonical-label contract
+  * as the engine's undirected CC (SURVEY.md §3.5).
+  *
+  * Per outer round:
+  *  1. TRIM (few sweeps): vertices with no in-edges or no out-edges in
+  *     the remaining graph are singleton SCCs — peel them. Handles the
+  *     long acyclic tails that make pure coloring O(V) rounds.
+  *  2. COLOR: c(v) := v, then propagate c(v) = max(c(v), max_{u→v} c(u))
+  *     to fixpoint — after which c(v) = r means r reaches v, and each
+  *     color class is closed under the SCC of its root (c(r) = r).
+  *  3. MARK: backward BFS from each root r inside color class r; the
+  *     marked set is exactly {v : r→v and v→r} = SCC(r) (the classical
+  *     color-closure argument: every vertex on a v→r path inside class r
+  *     is itself in class r). Assign, peel, repeat.
+  *
+  * Scale shape: every step is an equi-join keyed by src/dst or id plus a
+  * partial-agg'd max — the same join/agg loop machinery as PageRank/CC,
+  * with lineage barriers per iteration and eager release of the previous
+  * state. Rounds: ≤ #distinct-SCC-layers after trimming (one giant SCC +
+  * noise resolves in 1-2 rounds; the adversarial worst case — a long
+  * chain of nontrivial SCCs — costs a round per layer, the documented
+  * trade of the coloring family). */
+object StronglyConnected {
+
+  def scc(directed: DataFrame, maxRounds: Int = 50,
+          trimSweeps: Int = 3): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+
+    var edges = barrier(
+      directed.select($"src".cast("long"), $"dst".cast("long"))
+        .filter($"src" =!= $"dst").distinct()
+        .repartition(p, $"src"))
+    var remaining = barrier(
+      edges.select($"src".as("id")).union(edges.select($"dst".as("id")))
+        .distinct().repartition(p, $"id"))
+    // accumulated (id, label) assignments; unioned at the end
+    var assigned = List.empty[DataFrame]
+    var nRemaining = remaining.count()
+    var round = 0
+
+    while (nRemaining > 0 && round < maxRounds) {
+      // ---- 1. trim: no-in or no-out vertices are singleton SCCs ----
+      var sweep = 0
+      var trimmed = true
+      while (trimmed && sweep < trimSweeps && nRemaining > 0) {
+        val both = barrier(
+          edges.select($"src".as("id")).distinct()
+            .join(edges.select($"dst".as("id")).distinct(), "id")
+            .repartition(p, $"id"))
+        val singles = barrier(remaining.join(both, Seq("id"), "left_anti"))
+        val nSingles = singles.count()
+        if (nSingles > 0) {
+          assigned ::= barrier(singles.select($"id", $"id".as("label")))
+          GraftLineage.release(remaining)
+          remaining = both
+          nRemaining -= nSingles
+          val e2 = barrier(
+            edges.join(remaining.withColumnRenamed("id", "src"), "src")
+              .join(remaining.withColumnRenamed("id", "dst"), "dst")
+              .select($"src", $"dst").repartition(p, $"src"))
+          GraftLineage.release(edges)
+          edges = e2
+        } else {
+          GraftLineage.release(both)
+          trimmed = false
+        }
+        GraftLineage.release(singles)
+        sweep += 1
+      }
+      if (nRemaining == 0) { round += 1 }
+      else {
+        // ---- 2. color: forward max propagation to fixpoint ----
+        var colors = barrier(remaining.select($"id", $"id".as("c")))
+        var converged = false
+        while (!converged) {
+          val incoming = edges.as("e")
+            .join(colors.as("x"), $"e.src" === $"x.id")
+            .groupBy($"e.dst".as("id"))
+            .agg(max($"x.c").as("inc"))
+          val (next, obs) = barrierObserved(
+            colors.as("x")
+              .join(incoming.as("i"), Seq("id"), "left")
+              .select($"id",
+                greatest($"x.c", coalesce($"i.inc", $"x.c")).as("c"),
+                ($"i.inc".isNotNull && $"i.inc" > $"x.c").cast("long").as("chg")),
+            sum($"chg").as("nchg"))
+          GraftLineage.release(colors)
+          colors = barrier(next.select($"id", $"c").repartition(p, $"id"))
+          GraftLineage.release(next)
+          converged = obs("nchg") == null ||
+            obs("nchg").asInstanceOf[Long] == 0L
+        }
+        // ---- 3. backward mark from roots inside each color class ----
+        // ce: edges with both endpoint colors, kept only intra-class
+        val ce = barrier(
+          edges.as("e")
+            .join(colors.as("cs"), $"e.src" === $"cs.id")
+            .join(colors.as("cd"), $"e.dst" === $"cd.id")
+            .filter($"cs.c" === $"cd.c")
+            .select($"e.src", $"e.dst")
+            .repartition(p, $"dst"))
+        var marked = barrier(colors.filter($"c" === $"id").select($"id", $"c"))
+        var frontier = marked
+        var growing = true
+        while (growing) {
+          val (newMarks, obs) = barrierObserved(
+            ce.as("e")
+              .join(frontier.as("f"), $"e.dst" === $"f.id")
+              .select($"e.src".as("id"), $"f.c".as("c"))
+              .distinct()
+              .join(marked, Seq("id"), "left_anti")
+              .repartition(p, $"id"),
+            count(lit(1)).as("n"))
+          val n = if (obs("n") == null) 0L else obs("n").asInstanceOf[Long]
+          if (frontier ne marked) GraftLineage.release(frontier)
+          if (n == 0L) { GraftLineage.release(newMarks); growing = false }
+          else {
+            val m2 = barrier(marked.union(newMarks).repartition(p, $"id"))
+            GraftLineage.release(marked)
+            marked = m2
+            frontier = newMarks
+          }
+        }
+        assigned ::= barrier(marked.select($"id", $"c".as("label")))
+        val nAssigned = marked.count()
+        // peel the assigned SCCs and iterate on the rest
+        val r2 = barrier(
+          remaining.join(marked.select($"id"), Seq("id"), "left_anti")
+            .repartition(p, $"id"))
+        GraftLineage.release(remaining); remaining = r2
+        nRemaining -= nAssigned
+        val e2 = barrier(
+          edges.join(remaining.withColumnRenamed("id", "src"), "src")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst")
+            .select($"src", $"dst").repartition(p, $"src"))
+        GraftLineage.release(edges); edges = e2
+        GraftLineage.release(colors); GraftLineage.release(ce)
+        GraftLineage.release(marked)
+        round += 1
+      }
+    }
+    require(nRemaining == 0,
+      s"scc: $nRemaining vertices unresolved after $maxRounds rounds")
+    if (assigned.isEmpty) { // empty edge set → empty label table
+      GraftLineage.release(edges); GraftLineage.release(remaining)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("label")).limit(0)
+    }
+    val out = barrier(assigned.reduce(_ union _))
+    (edges :: remaining :: assigned).foreach(GraftLineage.release(_))
+    out
+  }
+}

@@ -168,6 +168,32 @@ object Temporal {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
 
+  /** DIRECTED co-activity edges: within each tumbling bucket, an edge
+    * from the user whose FIRST `eventType` event in the bucket is
+    * earlier to each later one (ties on first-event time break by
+    * smaller→larger user_id). Relative order flips across buckets, so
+    * unlike [[coactivityEdges]] this digraph has real cycles — the
+    * input the SCC operator is gated on. Same hot-bucket cap
+    * (deterministic: the cap keeps the bucket's earliest arrivals). */
+  def coactivityDirectedEdges(events: DataFrame, eventType: String,
+                              bucketMinutes: Int = 10,
+                              maxGroupSize: Int = 1000): DataFrame = {
+    val bucketUs = bucketMinutes.toLong * 60L * 1000000L
+    utcTs(events)
+      .filter(col("event_type") === eventType)
+      .groupBy(expr(s"unix_micros(ts) div ${bucketUs}L").as("b"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .groupBy(col("b"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("first_us"), col("user_id")))), 1, maxGroupSize).as("us"))
+      .select(explode(flatten(transform(col("us"), (u, i) =>
+        transform(slice(col("us"), i + 2, size(col("us"))), v =>
+          struct(u.getField("user_id").as("src"),
+            v.getField("user_id").as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+  }
+
   /** Co-activity edges: distinct (src < dst) user pairs that BOTH emit
     * an event of `eventType` inside the same `bucketMinutes` tumbling
     * window — the batch twin of

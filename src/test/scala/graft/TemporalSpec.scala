@@ -88,6 +88,47 @@ class TemporalSpec extends SparkSpec {
     d(1L) shouldBe 4.0 +- 1e-6 // one half-life old
   }
 
+  test("SCC: cycles, chains of SCCs, trim tails, bidirectional pairs") {
+    import graft.operators.StronglyConnected.scc
+    def run(es: (Long, Long)*): Map[Long, Long] =
+      scc(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two 3-cycles bridged one-way + an acyclic tail (trim fodder)
+    val m = run((0L, 1L), (1L, 2L), (2L, 0L), // SCC {0,1,2} → label 2
+      (2L, 10L), (10L, 11L), (11L, 12L), (12L, 10L), // SCC {10,11,12} → 12
+      (12L, 20L), (20L, 21L)) // tail singletons
+    m shouldBe Map(0L -> 2L, 1L -> 2L, 2L -> 2L,
+      10L -> 12L, 11L -> 12L, 12L -> 12L, 20L -> 20L, 21L -> 21L)
+    // a pure DAG: every vertex its own SCC
+    run((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)) shouldBe
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
+    // 2-cycle + isolated-by-direction pair; duplicate + self edges ignored
+    run((5L, 6L), (6L, 5L), (5L, 6L), (6L, 6L), (7L, 8L)) shouldBe
+      Map(5L -> 6L, 6L -> 6L, 7L -> 7L, 8L -> 8L)
+    // adversarial for coloring: descending chain of 2-cycles (each
+    // round's root peels one layer) — exercises multi-round outer loop
+    val chain = run((9L, 8L), (8L, 9L), (8L, 7L), (7L, 6L), (6L, 7L),
+      (6L, 5L), (5L, 4L), (4L, 5L))
+    chain shouldBe Map(9L -> 9L, 8L -> 9L, 7L -> 7L, 6L -> 7L,
+      5L -> 5L, 4L -> 5L)
+    // empty input
+    scc(Seq.empty[(Long, Long)].toDF("src", "dst")).count() shouldBe 0L
+  }
+
+  test("coactivityDirectedEdges: earlier-first → later; order flips across buckets make cycles") {
+    val e = ev(
+      // bucket 0: user 1 (t=0) before user 2 (t=5)  → 1→2
+      (0L, 0L, 1L, "purchase", 0.0), (1L, 5L, 2L, "purchase", 0.0),
+      // bucket 1: user 2 (t=10) before user 1 (t=15) → 2→1 (cycle!)
+      (2L, 10L, 2L, "purchase", 0.0), (3L, 15L, 1L, "purchase", 0.0),
+      // bucket 2: tie at t=20 → smaller id 3 → larger id 4
+      (4L, 20L, 3L, "purchase", 0.0), (5L, 20L, 4L, "purchase", 0.0))
+    val edges = graft.operators.Temporal
+      .coactivityDirectedEdges(e, "purchase", bucketMinutes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges shouldBe Set((1L, 2L), (2L, 1L), (3L, 4L))
+  }
+
   test("coactivityEdges: same bucket+type pairs only; boundary starts a new bucket") {
     val e = ev(
       (0L, 0L, 1L, "purchase", 0.0), (1L, 9L, 2L, "purchase", 0.0),
