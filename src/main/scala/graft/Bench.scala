@@ -112,9 +112,10 @@ object Bench {
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "modularity", "harmonic_centrality", "closeness_centrality",
-      "eigencentrality", "random_walks", "hits",
+      "eigencentrality", "katz", "random_walks", "hits",
       "sessions", "asof_view_click", "event_funnel", "events_hourly",
       "user_decay", "props_hist", "cc_coactivity", "scc_coactivity",
+      "scc_condensation",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",

@@ -97,6 +97,13 @@ object SparkEntry {
       graft.operators.Centrality.eigenvector(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir), maxIter = eigenIters)
         .orderBy("id")),
+    // Katz centrality (β=1, α=0.05 < 1/λmax on this sparse graph,
+    // pinned fixed-point steps — the attenuated-paths score)
+    "katz" -> ((s, dir) =>
+      graft.operators.Centrality.katz(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir),
+        alpha = katzAlpha, maxIter = katzIters)
+        .orderBy("id")),
     // HITS hubs/authorities over the DIRECTED customer→supplier graph
     // (pinned alternating updates, per-side L∞ normalization)
     "hits" -> ((s, dir) =>
@@ -151,6 +158,15 @@ object SparkEntry {
         graft.operators.Temporal.coactivityDirectedEdges(
           readEvents(s, dir), "purchase"))
         .orderBy("id")),
+    // condensation DAG of that digraph: SCCs contracted to canonical
+    // labels, distinct cross-SCC edges (acyclic by construction)
+    "scc_condensation" -> ((s, dir) => {
+      val de = graft.operators.Temporal.coactivityDirectedEdges(
+        readEvents(s, dir), "purchase")
+      graft.operators.StronglyConnected.condensation(
+        de, graft.operators.StronglyConnected.scc(de))
+        .orderBy("src_scc", "dst_scc")
+    }),
     // 3-core of the nation graph (iterative degree peeling to fixpoint)
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
@@ -531,6 +547,8 @@ object SparkEntry {
   private val lpaIters = 20
   private val eigenIters = 20
   private val hitsIters = 12
+  private val katzIters = 12
+  private val katzAlpha = 0.05
   private val funnelStages = Seq("view", "click", "purchase")
   /** pinned "now" for the decayed-activity query: 2024-02-01T00:00Z
     * (the synthetic event log starts 2024-01-01) — epoch micros. */
@@ -963,6 +981,44 @@ object SparkEntry {
        |FROM x$iters ORDER BY id""".stripMargin
   }
 
+  /** SCC ground truth by mutual reachability (v→u AND u→v): a WITH body
+    * ending in `scc(id, label)` with label = max id in the SCC — the
+    * engine's canonical-label contract. `e` stays visible to the caller
+    * (the condensation oracle joins it back). `mut`/`scc` MATERIALIZED:
+    * the condensation oracle references `scc` twice and DuckDB inlines
+    * plain CTEs (round-3 kcore lesson). */
+  private def sccLabelsCte(directedEdgesSql: String): String =
+    s"""WITH RECURSIVE e AS ($directedEdgesSql),
+       |verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+       |mut AS MATERIALIZED (SELECT r1.a AS v, r1.b AS u
+       |       FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       |scc AS MATERIALIZED (
+       |  SELECT v.id, CAST(greatest(v.id, coalesce(max(m.u), v.id)) AS BIGINT) AS label
+       |  FROM verts v LEFT JOIN mut m ON v.id = m.v GROUP BY v.id)""".stripMargin
+
+  /** Katz oracle: the engine's fixed-point steps unrolled — z_t(v) =
+    * 1 + α·Σ_{u~v} z_{t-1}(u), only the output rounds (values stay O(1)
+    * at α < 1/λmax, so the 6 dp round absorbs neighbor-sum order noise).
+    * α forced to IEEE double (decimal literals compute exactly in
+    * DuckDB); MATERIALIZED per step out of round-3-lesson caution. */
+  private def katzOracleSql(edgesSql: String, alpha: Double, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""x$t AS MATERIALIZED (
+         |  SELECT b.dst AS id,
+         |    CAST(1.0 AS DOUBLE) + CAST($alpha AS DOUBLE) * sum(x.v) AS v
+         |  FROM bidir b JOIN x${t - 1} x ON b.src = x.id GROUP BY b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |x0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS v FROM bidir),
+       |$steps
+       |SELECT id, round(v, 6) AS katz FROM x$iters ORDER BY id""".stripMargin
+  }
+
   /** HITS oracle: the engine's alternating updates verbatim — per-term
     * division by the previous side's max (order-independent), pinned
     * iterations, per-side L∞ scaling, 6 dp round. h0 is uniform 1.0
@@ -1062,6 +1118,7 @@ object SparkEntry {
          |SELECT id, CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
          |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
+    "katz" -> katzOracleSql(nationEdgesSql, katzAlpha, katzIters),
     "hits" -> hitsOracleSql(custSuppDirectedSql, hitsIters),
     "sessions" ->
       """WITH o AS (
@@ -1141,20 +1198,14 @@ object SparkEntry {
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "cc_coactivity" -> ccOracleSql(coactivityEdgesSql),
-    // SCC ground truth = mutual reachability (v→u AND u→v); label =
-    // max id in the SCC, the engine's canonical-label contract
     "scc_coactivity" ->
-      s"""WITH RECURSIVE e AS ($coactivityDirectedEdgesSql),
-         |verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-         |reach AS (
-         |  SELECT src AS a, dst AS b FROM e
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-         |mut AS (SELECT r1.a AS v, r1.b AS u
-         |        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
-         |SELECT v.id, CAST(greatest(v.id, coalesce(max(m.u), v.id)) AS BIGINT) AS label
-         |FROM verts v LEFT JOIN mut m ON v.id = m.v
-         |GROUP BY v.id ORDER BY v.id""".stripMargin,
+      s"""${sccLabelsCte(coactivityDirectedEdgesSql)}
+         |SELECT id, label FROM scc ORDER BY id""".stripMargin,
+    "scc_condensation" ->
+      s"""${sccLabelsCte(coactivityDirectedEdgesSql)}
+         |SELECT DISTINCT ls.label AS src_scc, ld.label AS dst_scc
+         |FROM e JOIN scc ls ON e.src = ls.id JOIN scc ld ON e.dst = ld.id
+         |WHERE ls.label <> ld.label ORDER BY src_scc, dst_scc""".stripMargin,
     "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

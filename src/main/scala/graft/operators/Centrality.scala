@@ -123,6 +123,57 @@ object Centrality {
     out
   }
 
+  /** Katz centrality (Katz '53), pinned to `maxIter` fixed-point steps:
+    * z_0 = 1, z_t(v) = 1 + α · Σ_{u ~ v} z_{t-1}(u), output round(z_T, 6)
+    * — the textbook attenuated-paths score (β = 1). No per-iteration
+    * normalization is needed: the caller picks α < 1/λ_max (the default
+    * 0.05 is safe for the sparse co-occurrence graphs this engine
+    * derives; values stay O(1), so the 6 dp round absorbs the only
+    * cross-engine float noise, per-vertex neighbor-sum order). α is the
+    * SAME literal every iteration, so unlike PageRank's dangling mass it
+    * never forces a plan recompile.
+    *
+    * Scale: identical loop plan to [[eigenvector]] — adjacency
+    * hash-partitioned by src once, one co-partitioned join + one
+    * partial-agg'd hash agg per iteration, previous state released
+    * eagerly. */
+  def katz(edges: Dataset[Edge], alpha: Double = 0.05,
+           maxIter: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxIter >= 1, "katz: need at least one iteration")
+    require(alpha > 0 && alpha < 1, s"katz: alpha out of (0,1): $alpha")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
+      .toDF("src", "dst")
+      .repartition(p, $"src")
+      .cutLineage()
+    var z = barrier(
+      adj.select($"src".as("id")).distinct()
+        .select($"id", lit(1.0).as("v"))
+        .repartition(p, $"id"))
+    if (z.isEmpty) { // empty edge set → empty score table, not an NPE
+      GraftLineage.release(adj)
+      return z.select($"id", $"v".as("katz")).limit(0)
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      // every vertex in an edge-derived set has degree ≥ 1, so the
+      // inner join reaches all of them — no left-join fallback needed
+      val next = barrier(
+        adj.as("e")
+          .join(z.as("x"), $"e.src" === $"x.id")
+          .groupBy($"e.dst".as("id"))
+          .agg((lit(1.0) + lit(alpha) * sum($"x.v")).as("v")))
+      GraftLineage.release(z)
+      z = next
+      iter += 1
+    }
+    val out = barrier(z.select($"id", round($"v", 6).as("katz")))
+    GraftLineage.release(z); GraftLineage.release(adj)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg '99) over a DIRECTED edge table
     * (src, dst), pinned to `maxIter` alternating updates with the same
     * L∞-per-side normalization trick as [[eigenvector]]:

@@ -164,4 +164,22 @@ object StronglyConnected {
     (edges :: remaining :: assigned).foreach(GraftLineage.release(_))
     out
   }
+
+  /** Condensation DAG: contract each SCC to its canonical label and keep
+    * the distinct cross-SCC edges — acyclic by construction (a cycle of
+    * SCCs would be one SCC). `labels` is [[scc]]'s (id, label) output.
+    * Scale shape: two equi-joins keyed by the edge endpoints + one
+    * distinct — the same relabel plan as CC's edge contraction
+    * (ConnectedComponents G4), no iteration. */
+  def condensation(directed: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = directed.sparkSession
+    import spark.implicits._
+    directed
+      .select($"src".cast("long"), $"dst".cast("long"))
+      .join(labels.select($"id".as("src"), $"label".as("src_scc")), "src")
+      .join(labels.select($"id".as("dst"), $"label".as("dst_scc")), "dst")
+      .filter($"src_scc" =!= $"dst_scc")
+      .select($"src_scc", $"dst_scc")
+      .distinct()
+  }
 }

@@ -483,6 +483,35 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("katz: path-graph closed form; driver fixed-point mirror on random") {
+    import graft.operators.Centrality
+    // P3 (0-1-2), α=0.1: fixed point z(ends) = 1.1/0.98, z(mid) = 1+0.2·z(0);
+    // (αλ)^12 ≈ 6e-11 — converged far below the 6 dp round
+    val p3 = Seq(Edge(0L, 1L), Edge(1L, 2L))
+    val z = Centrality.katz(spark.createDataset(p3), alpha = 0.1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    z(0L) shouldBe 1.1 / 0.98 +- 2e-6
+    z(2L) shouldBe z(0L)
+    z(1L) shouldBe (1.0 + 0.2 * 1.1 / 0.98) +- 2e-6
+    // driver mirror of the exact pinned iteration on a random graph
+    val edges = Generators.random(spark, 40, 80, seed = 11L)
+      .collect().map(e => (e.src, e.dst)).toSeq
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = canon.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var ref = adj.keys.map(v => v -> 1.0).toMap
+    for (_ <- 1 to 12)
+      ref = adj.map { case (v, ns) => v -> (1.0 + 0.05 * ns.map(ref).sum) }
+    val got = Centrality.katz(
+        spark.createDataset(edges.map(e => Edge(e._1, e._2)))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe ref.keySet
+    got.foreach { case (v, s) => s shouldBe ref(v) +- 1e-5 }
+    // empty input → empty output, not an NPE
+    Centrality.katz(spark.emptyDataset[Edge]).count() shouldBe 0L
+  }
+
   test("HITS: bipartite hubs/authorities rank by coverage; sides are disjoint") {
     import graft.operators.Centrality
     import spark.implicits._

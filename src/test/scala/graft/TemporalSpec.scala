@@ -115,6 +115,30 @@ class TemporalSpec extends SparkSpec {
     scc(Seq.empty[(Long, Long)].toDF("src", "dst")).count() shouldBe 0L
   }
 
+  test("SCC condensation: contracted cross-SCC edges, no self-edges, acyclic shape") {
+    import graft.operators.StronglyConnected.{scc, condensation}
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), // SCC {0,1,2} → 2
+      (2L, 10L), (10L, 11L), (11L, 12L), (12L, 10L), // SCC {10,11,12} → 12
+      (12L, 20L), (20L, 21L)).toDF("src", "dst")
+    val cond = condensation(e, scc(e)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cond shouldBe Set((2L, 12L), (12L, 20L), (20L, 21L))
+  }
+
+  test("metamorphic: SCC of a symmetrized digraph == undirected CC labels") {
+    import graft.operators.ConnectedComponents
+    // deterministic pseudo-random digraph: 60 vertices, dst = (7i+3) mod 40
+    val raw = (0L until 60L).map(i => (i, (i * 7 + 3) % 40))
+      .filter { case (a, b) => a != b }
+    val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val sccM = graft.operators.StronglyConnected.scc(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccM = ConnectedComponents
+      .run(raw.toDF("src", "dst").as[graft.graph.Edge])
+      .labels.collect().map(l => l.id -> l.label).toMap
+    sccM shouldBe ccM
+  }
+
   test("coactivityDirectedEdges: earlier-first → later; order flips across buckets make cycles") {
     val e = ev(
       // bucket 0: user 1 (t=0) before user 2 (t=5)  → 1→2
