@@ -112,7 +112,8 @@ object Bench {
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "modularity", "harmonic_centrality", "closeness_centrality",
-      "eigencentrality", "katz", "random_walks", "hits",
+      "eigencentrality", "katz", "random_walks", "hits", "graph_diameter",
+      "digraph_stats",
       "sessions", "asof_view_click", "event_funnel", "events_hourly",
       "user_decay", "props_hist", "cc_coactivity", "scc_coactivity",
       "scc_condensation",

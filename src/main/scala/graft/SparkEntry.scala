@@ -97,6 +97,19 @@ object SparkEntry {
       graft.operators.Centrality.eigenvector(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir), maxIter = eigenIters)
         .orderBy("id")),
+    // seed-restricted diameter lower bound + exact integer-p90
+    // effective diameter from one multi-source BFS
+    "graph_diameter" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      graft.operators.Traversal.distanceStats(
+        edges, lowestVertexIds(edges, centralitySeedK))
+    }),
+    // one-row digraph health check over the purchase co-activity digraph
+    // (reciprocity numerator/denominator, source/sink counts)
+    "digraph_stats" -> ((s, dir) =>
+      graft.operators.GraphMetrics.digraphStats(
+        graft.operators.Temporal.coactivityDirectedEdges(
+          readEvents(s, dir), "purchase"))),
     // Katz centrality (β=1, α=0.05 < 1/λmax on this sparse graph,
     // pinned fixed-point steps — the attenuated-paths score)
     "katz" -> ((s, dir) =>
@@ -1117,6 +1130,33 @@ object SparkEntry {
       s"""${multiSourceBfsCte(nationEdgesSql, centralitySeedK)}
          |SELECT id, CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
          |FROM dist WHERE d > 0 GROUP BY id ORDER BY id""".stripMargin,
+    // byd referenced twice (total + cumulative) → MATERIALIZED; the
+    // p90 compare stays in integers (cum·10 ≥ t·9) on both sides
+    "graph_diameter" ->
+      s"""${multiSourceBfsCte(nationEdgesSql, centralitySeedK)},
+         |pos AS (SELECT d FROM dist WHERE d > 0),
+         |byd AS MATERIALIZED (SELECT d, count(*) AS n FROM pos GROUP BY d),
+         |tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t FROM byd),
+         |cum AS (SELECT d, sum(n) OVER (ORDER BY d) AS c FROM byd)
+         |SELECT CAST((SELECT t FROM tot) AS BIGINT) AS pairs,
+         |  CAST(max(d) AS BIGINT) AS diameter,
+         |  CAST(min(CASE WHEN c * 10 >= (SELECT t FROM tot) * 9 THEN d END)
+         |    AS BIGINT) AS eff_d90
+         |FROM cum""".stripMargin,
+    "digraph_stats" ->
+      s"""WITH e AS MATERIALIZED ($coactivityDirectedEdgesSql),
+         |outs AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |ins AS MATERIALIZED (SELECT DISTINCT dst AS id FROM e)
+         |SELECT
+         |  CAST((SELECT count(*) FROM (SELECT id FROM outs UNION SELECT id FROM ins))
+         |    AS BIGINT) AS n_vertices,
+         |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(*) FROM e a JOIN e b
+         |        ON a.src = b.dst AND a.dst = b.src) AS BIGINT) AS n_mutual,
+         |  CAST((SELECT count(*) FROM outs WHERE id NOT IN (SELECT id FROM ins))
+         |    AS BIGINT) AS n_sources,
+         |  CAST((SELECT count(*) FROM ins WHERE id NOT IN (SELECT id FROM outs))
+         |    AS BIGINT) AS n_sinks""".stripMargin,
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
     "katz" -> katzOracleSql(nationEdgesSql, katzAlpha, katzIters),
     "hits" -> hitsOracleSql(custSuppDirectedSql, hitsIters),

@@ -213,4 +213,33 @@ object GraphMetrics {
         labels.join(dense, "label").select(col("id"), col("dense_label")))
     }
   }
+
+  /** One-row descriptive statistics of a DIRECTED edge table — the
+    * health-check a digraph pipeline runs before the iterative
+    * operators: vertex/edge counts, mutual (reciprocated) edge count
+    * (reciprocity = n_mutual / n_edges, left as exact integers so the
+    * gate is hash-exact), and source/sink counts (no in- resp. no
+    * out-edges). Scale: self-loops/dups dropped once, then one
+    * self-equi-join on the swapped key pair for mutuality and two
+    * anti-joins on distinct endpoint sets — all key-partitioned aggs
+    * to single-row frames, crossJoined at the end (5 one-row plans,
+    * no collect). */
+  def digraphStats(directed: DataFrame): DataFrame = {
+    val e = directed.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val outs = e.select(col("src").as("id")).distinct()
+    val ins = e.select(col("dst").as("id")).distinct()
+    val nv = outs.union(ins).distinct()
+      .agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nm = e.as("a")
+      .join(e.as("b"), col("a.src") === col("b.dst") &&
+        col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val nsrc = outs.join(ins, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_sources"))
+    val nsink = ins.join(outs, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_sinks"))
+    nv.crossJoin(ne).crossJoin(nm).crossJoin(nsrc).crossJoin(nsink)
+  }
 }

@@ -172,4 +172,40 @@ object Traversal {
       barrier(GraphIO.vertices(e.as[Edge]).toDF("id"))
     }
   }
+
+  /** Seed-restricted distance statistics over seeds × reachable vertices
+    * (dist > 0 pairs), one row: `pairs` (reached pairs), `diameter`
+    * (max observed distance — the standard sampled-BFS diameter lower
+    * bound), and `eff_d90` (exact integer 90th-percentile effective
+    * diameter: smallest d with ≥90% of pairs at distance ≤ d; the
+    * percentile compare stays in integers, cum·10 ≥ pairs·9, so the
+    * gate is hash-exact — no float quantile interpolation to disagree
+    * on across engines). Scale: one multi-source BFS + a hash agg to a
+    * ≤`maxHops`-row histogram; the single-partition window over that
+    * histogram is bounded by construction. */
+  def distanceStats(edges: Dataset[Edge], seeds: Seq[Long],
+                    maxHops: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    if (seeds.isEmpty) // empty graph ⇒ empty seed rule ⇒ empty table
+      return spark.emptyDataFrame
+        .select(lit(0L).as("pairs"), lit(0L).as("diameter"),
+          lit(0L).as("eff_d90")).limit(0)
+    val d = multiSourceHopDistances(edges, seeds, maxHops)
+    val byd = barrier(
+      d.filter($"dist" > 0).groupBy($"dist").agg(count(lit(1)).as("n")))
+    release(d)
+    val w = Window.orderBy($"dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = barrier(
+      byd.withColumn("cum", sum($"n").over(w))
+        .crossJoin(broadcast(byd.agg(sum($"n").as("t"))))
+        .agg(coalesce(max($"t"), lit(0L)).as("pairs"),
+          coalesce(max($"dist"), lit(0L)).as("diameter"),
+          coalesce(min(when($"cum" * 10 >= $"t" * 9, $"dist")), lit(0L))
+            .as("eff_d90")))
+    release(byd)
+    out
+  }
 }

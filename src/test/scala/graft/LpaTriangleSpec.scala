@@ -483,6 +483,30 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("distanceStats: chain p90 below diameter; star; empty seeds") {
+    import graft.operators.Traversal
+    // chain 0..10, seed 0: dists 1..10 → diameter 10, p90 = 9 (cum 9/10)
+    val chain = spark.createDataset((0L until 10L).map(i => Edge(i, i + 1)))
+    val r = Traversal.distanceStats(chain, Seq(0L)).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((10L, 10L, 9L))
+    // star (hub 0, 9 leaves), seeds {0,1}: 9 pairs at d1 + (8 at d2 + 1 at d1)
+    val star = spark.createDataset((1L to 9L).map(i => Edge(0L, i)))
+    val s = Traversal.distanceStats(star, Seq(0L, 1L)).collect()(0)
+    (s.getLong(0), s.getLong(1), s.getLong(2)) shouldBe ((18L, 2L, 2L))
+    // empty seed set → empty frame, not an NPE
+    Traversal.distanceStats(chain, Seq.empty).count() shouldBe 0L
+  }
+
+  test("digraphStats: counts vertices/edges/mutual/sources/sinks exactly") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L), (5L, 0L),
+      (0L, 0L), (0L, 1L)) // self-loop + duplicate must be ignored
+      .toDF("src", "dst")
+    val r = GraphMetrics.digraphStats(e).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((5L, 5L, 2L, 1L, 1L)) // verts {0,1,2,3,5}; mutual 0↔1; source 5; sink 3
+  }
+
   test("katz: path-graph closed form; driver fixed-point mirror on random") {
     import graft.operators.Centrality
     // P3 (0-1-2), α=0.1: fixed point z(ends) = 1.1/0.98, z(mid) = 1+0.2·z(0);
