@@ -116,7 +116,7 @@ object Bench {
       "digraph_stats",
       "sessions", "asof_view_click", "event_funnel", "events_hourly",
       "user_decay", "props_hist", "cc_coactivity", "scc_coactivity",
-      "scc_condensation",
+      "scc_condensation", "cc_incremental",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",

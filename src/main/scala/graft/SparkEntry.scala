@@ -49,6 +49,17 @@ object SparkEntry {
     "cc_supplier_sampled" -> ((s, dir) => ccLabels(s, dir, CCStrategy.SampledContraction)),
     // same fixpoint via G5 coin-toss hooking (seeded) — same oracle
     "cc_supplier_random" -> ((s, dir) => ccLabels(s, dir, CCStrategy.RandomizedHook)),
+    // incremental CC: fold the SAME edge set in three batches through
+    // the streaming label maintainer (star-edge merges) — must equal
+    // the one-shot labels, so it shares cc_supplier's oracle
+    "cc_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val edges = EdgeDerivation.supplierCooccurrence(s, dir)
+      val m = new graft.streaming.IncrementalCC.LabelMaintainer(s)
+      (0 until 3).foreach(i =>
+        m.ingest(edges.filter(pmod(xxhash64($"src", $"dst"), lit(3L)) === i)))
+      m.labels.orderBy("id")
+    }),
     // multi-component CC (same-nation restriction)
     "cc_nation" -> ((s, dir) => ccNationLabels(s, dir)),
     // A4/A5: component count + sizes
@@ -1317,6 +1328,8 @@ object SparkEntry {
          |FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
          |GROUP BY id ORDER BY id""".stripMargin,
     "cc_supplier" -> ccOracleSql(supplierEdgesSql),
+    // incremental fold of the same edge set ⇒ identical labels
+    "cc_incremental" -> ccOracleSql(supplierEdgesSql),
     "cc_supplier_star" -> ccOracleSql(supplierEdgesSql),
     "cc_supplier_sampled" -> ccOracleSql(supplierEdgesSql),
     "cc_supplier_random" -> ccOracleSql(supplierEdgesSql),

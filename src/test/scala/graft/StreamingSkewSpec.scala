@@ -216,4 +216,46 @@ class StreamingSkewSpec extends SparkSpec {
     hotSalts should be > 1L
     split.filter($"src" >= 5000).select("salt").distinct().count() shouldBe 1L
   }
+
+  test("streaming: incremental CC via foreachBatch; bridge batch merges components") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.IncrementalCC
+    val in = MemoryStream[String]
+    val m = new IncrementalCC.LabelMaintainer(spark)
+    val q = m.sink(EdgeStreams.parseEdgeLines(in.toDF())).start()
+    try {
+      in.addData("0 1", "2 3")
+      q.processAllAvailable()
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(0L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 3L)
+      in.addData("1 2") // bridge: both components must merge
+      q.processAllAvailable()
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+      in.addData("5 6") // unrelated late component joins the table
+      q.processAllAvailable()
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 5L -> 6L, 6L -> 6L)
+    } finally q.stop()
+  }
+
+  test("incremental CC: folding random batch splits equals one-shot labels") {
+    import graft.graph.{Edge, Generators}
+    import graft.operators.ConnectedComponents
+    import graft.streaming.IncrementalCC
+    for (seed <- 1L to 3L) {
+      val edges = Generators.random(spark, 50, 90, seed).collect().toSeq
+      val oneShot = ConnectedComponents
+        .run(spark.createDataset(edges))
+        .labels.collect().map(l => l.id -> l.label).toMap
+      // deterministic 3-way split by (src+dst+seed) mod 3
+      val m = new IncrementalCC.LabelMaintainer(spark)
+      (0 until 3).foreach { i =>
+        val part = edges.filter(e => ((e.src + e.dst + seed) % 3) == i)
+        m.ingest(spark.createDataset(part))
+      }
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        oneShot
+    }
+  }
 }
