@@ -120,6 +120,7 @@ object Bench {
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
       "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
+      "text_repetition",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
       "kmeans_assign", "text_stats",

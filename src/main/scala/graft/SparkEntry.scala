@@ -330,6 +330,14 @@ object SparkEntry {
         .select("doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper")
         .orderBy("doc_id")
     }),
+    // Gopher-style repetition filters as exact integers (top token /
+    // bigram counts, distinct tokens) — ratios are one division away
+    "text_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.TextAnalysis.repetitionStats(
+          d.select(col("doc_id"), col("text")), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // heuristic language id (stopword argmax + CJK detection)
     "text_lang" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -1431,6 +1439,36 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text,'[^0-9]','','g')) AS BIGINT) AS n_digits,
         |  CAST(length(regexp_replace(text,'[^A-Z]','','g')) AS BIGINT) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // uni/bi referenced once each but MATERIALIZED out of caution; the
+    // per-doc grams come from unnest, counts are exact integers
+    "text_repetition" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []
+        |    ELSE regexp_split_to_array(trim(text),'\s+') END AS t
+        |  FROM documents),
+        |ug AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |ugc AS (SELECT doc_id, g, count(*) AS c FROM ug GROUP BY 1, 2),
+        |uni AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(max(c) AS BIGINT) AS top_token_n
+        |  FROM ugc GROUP BY 1),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM toks WHERE len(t) >= 2)),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bi AS MATERIALIZED (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_n
+        |  FROM bgc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(top_token_n, 0) AS BIGINT) AS top_token_n,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+        |FROM documents d LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_lang" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -167,4 +167,43 @@ object TextAnalysis {
         shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
           .bitwiseXOR(xxhash64(t))),
       lit(0L))
+
+  /** Per-document repetition signals — the Gopher-family quality
+    * filters (Rae et al. '21, §A1: "fraction of characters in the most
+    * common n-gram", "fraction of unique words"), kept as EXACT integer
+    * numerators/denominators so the gate is hash-exact and the filter
+    * threshold is one division downstream: token count, distinct-token
+    * count, the most frequent token's count, bigram count, and the most
+    * frequent bigram's count.
+    *
+    * Scale: two explode → hash-agg pipelines keyed by (doc, gram) then
+    * doc, both map-side combined; per-key cardinality is bounded by a
+    * single document's length, so there is no cross-document hot key by
+    * construction. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("t"))
+    val bigrams = when(size(col("t")) >= 2,
+      zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val uni = base.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_token_n"))
+    val bi = base.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    base.select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_token_n"), lit(0L)).as("top_token_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
 }

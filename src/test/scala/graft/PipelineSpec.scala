@@ -124,6 +124,21 @@ class PipelineSpec extends SparkSpec {
     fps(0L) should not be fps(2L)
   }
 
+  test("repetition stats: hand-computed grams, degenerate repeats, empty text") {
+    val d = Seq(
+      (0L, "a b a b c"),   // 5 tokens, 3 distinct, top 'a'/'b'=2; bigrams: ab,ba,ab,bc → top 2
+      (1L, "x x x x"),     // fully degenerate: top_token 4, top bigram 'x x' = 3
+      (2L, "one"),         // single token: no bigrams
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(d, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    got(0L) shouldBe ((5L, 3L, 2L, 4L, 2L))
+    got(1L) shouldBe ((4L, 1L, 4L, 3L, 3L))
+    got(2L) shouldBe ((1L, 1L, 1L, 0L, 0L))
+    got(3L) shouldBe ((0L, 0L, 0L, 0L, 0L))
+  }
+
   private lazy val embeddings = {
     // deterministic 8-dim embeddings; vec 1 ≈ vec 0 (near-dup), others random-ish
     val rnd = new scala.util.Random(42)
