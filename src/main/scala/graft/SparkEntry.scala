@@ -121,6 +121,15 @@ object SparkEntry {
       graft.operators.GraphMetrics.digraphStats(
         graft.operators.Temporal.coactivityDirectedEdges(
           readEvents(s, dir), "purchase"))),
+    // seed-restricted Brandes betweenness over the SPARSE text fixture
+    // (the co-occurrence graphs are near-cliques — diameter ~1 — where
+    // betweenness is identically 0; same fixture rationale as fof_recs)
+    "betweenness" -> ((s, dir) => {
+      val g = GraphIO.readTextGraph(s, textFixturePath)
+      graft.operators.Centrality.betweenness(
+        g.edges, lowestVertexIds(g.edges, centralitySeedK))
+        .orderBy("id")
+    }),
     // Katz centrality (β=1, α=0.05 < 1/λmax on this sparse graph,
     // pinned fixed-point steps — the attenuated-paths score)
     "katz" -> ((s, dir) =>
@@ -1013,6 +1022,60 @@ object SparkEntry {
        |FROM x$iters ORDER BY id""".stripMargin
   }
 
+  /** Text-fixture edge list as SQL (the sparse graph the fixture-bound
+    * oracles share — fof_recs inlines the same read). */
+  private val fixtureEdgesSql =
+    s"""SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+       |FROM (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |      FROM read_csv('$textFixturePath', sep=' ',
+       |                    names=['a','b'], skip=1, header=false))
+       |WHERE a <> b""".stripMargin
+
+  /** Brandes betweenness oracle, the engine's two passes unrolled: σ by
+    * level (exact BIGINTs — sig_t joins the previous level to the dag
+    * via dist = t), then δ backward with the engine's per-term
+    * arithmetic `CAST(σv AS DOUBLE)/σw · (1 + δw)`; only the final
+    * per-vertex sum rounds. Every step CTE is referenced twice →
+    * MATERIALIZED; `chk` errors loudly if the unroll is shallower than
+    * the real BFS depth (kcore error() precedent). */
+  private def betweennessOracleSql(edgesSql: String, k: Int, maxT: Int): String = {
+    val sigs = (1 to maxT).map { t =>
+      s"""sig$t AS MATERIALIZED (
+         |  SELECT s.source, b.dst AS id, CAST(sum(s.sigma) AS BIGINT) AS sigma
+         |  FROM sig${t - 1} s JOIN bidir b ON s.id = b.src
+         |  JOIN dist d ON d.source = s.source AND d.id = b.dst AND d.d = $t
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val dels = (maxT - 1 to 0 by -1).map { t =>
+      s"""del$t AS MATERIALIZED (
+         |  SELECT v.source, v.id, v.sigma,
+         |    coalesce(sum(CAST(v.sigma AS DOUBLE) / CAST(x.sigma AS DOUBLE)
+         |      * (CAST(1.0 AS DOUBLE) + x.delta)), CAST(0.0 AS DOUBLE)) AS delta
+         |  FROM sig$t v LEFT JOIN (
+         |    SELECT b.src AS vid, w.source AS wsource, w.sigma, w.delta
+         |    FROM bidir b JOIN del${t + 1} w ON b.dst = w.id) x
+         |    ON x.vid = v.id AND x.wsource = v.source
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val bcUnion = (1 to maxT)
+      .map(t => s"SELECT id, delta FROM del$t").mkString(" UNION ALL ")
+    s"""${multiSourceBfsCte(edgesSql, k)},
+       |chk AS (SELECT CASE WHEN (SELECT max(d) FROM dist) >= $maxT
+       |  THEN error('betweenness oracle: unroll too shallow') ELSE 1 END AS ok),
+       |sig0 AS MATERIALIZED (
+       |  SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |$sigs,
+       |del$maxT AS MATERIALIZED (
+       |  SELECT source, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM sig$maxT),
+       |$dels
+       |SELECT v.id, round(coalesce(d.b, CAST(0.0 AS DOUBLE)), 6) AS betweenness
+       |FROM (SELECT DISTINCT src AS id FROM bidir) v
+       |LEFT JOIN (SELECT id, sum(delta) AS b FROM ($bcUnion) GROUP BY id) d
+       |  USING (id)
+       |CROSS JOIN chk
+       |ORDER BY v.id""".stripMargin
+  }
+
   /** SCC ground truth by mutual reachability (v→u AND u→v): a WITH body
     * ending in `scc(id, label)` with label = max id in the SCC — the
     * engine's canonical-label contract. `e` stays visible to the caller
@@ -1178,6 +1241,7 @@ object SparkEntry {
          |    AS BIGINT) AS n_sinks""".stripMargin,
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
     "katz" -> katzOracleSql(nationEdgesSql, katzAlpha, katzIters),
+    "betweenness" -> betweennessOracleSql(fixtureEdgesSql, centralitySeedK, 12),
     "hits" -> hitsOracleSql(custSuppDirectedSql, hitsIters),
     "sessions" ->
       """WITH o AS (

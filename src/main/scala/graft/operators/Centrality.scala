@@ -123,6 +123,109 @@ object Centrality {
     out
   }
 
+  /** Seed-restricted betweenness centrality (Brandes '01, restricted to
+    * a deterministic source set — the standard scale substitute for the
+    * O(V·E) exact quantity, same seed rule as [[harmonic]]):
+    * bc(v) = Σ_{s ∈ seeds} δ_s(v) with δ_s from Brandes' backward
+    * accumulation δ_s(v) = Σ_{w : succ} σ_s(v)/σ_s(w) · (1 + δ_s(w))
+    * over the BFS dag of s, output round(bc, 6), all vertices (0.0 when
+    * never interior). Path counts σ stay exact integers; the division
+    * happens per TERM (so an unrolled SQL oracle mirrors the arithmetic
+    * bit-for-bit) and only the final per-vertex sum rounds.
+    *
+    * Scale: the forward pass is ONE level-synchronous multi-source BFS
+    * (k seeds = one traversal with a k×-wide frontier) that also
+    * accumulates σ as a per-level hash agg; the backward pass walks the
+    * ≤diameter per-level barriers once, two key-partitioned joins + one
+    * hash agg per level. Nothing driver-side; levels are released as
+    * consumed. */
+  def betweenness(edges: Dataset[Edge], seeds: Seq[Long],
+                  maxHops: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (seeds.isEmpty) // empty graph ⇒ empty seed rule ⇒ empty table
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0.0).as("betweenness")).limit(0)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
+      .toDF("v", "nbr")
+      .repartition(p, $"v")
+      .cutLineage()
+    // ---- forward: per-level (source, id, sigma), sigma exact longs ----
+    var frontier = barrier(
+      spark.createDataset(seeds.distinct).toDF("source")
+        .select($"source", $"source".as("id"), lit(1L).as("sigma"))
+        .repartition(p, $"source", $"id"))
+    var levels = Vector(frontier)
+    var visitedParts = List[DataFrame](frontier.select($"source", $"id"))
+    var t = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && t < maxHops) {
+      t += 1
+      val visited = visitedParts.reduce(_ union _)
+      val (next, m) = barrierObserved(
+        frontier.join(adj, $"id" === $"v")
+          .select($"source", $"nbr".as("id"), $"sigma")
+          .join(visited, Seq("source", "id"), "left_anti")
+          .groupBy($"source", $"id")
+          .agg(sum($"sigma").as("sigma")),
+        count(lit(1)).as("n"))
+      frontierSize = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (frontierSize > 0) {
+        levels :+= next
+        visitedParts ::= next.select($"source", $"id")
+        frontier = next
+      } else release(next)
+    }
+    // ---- backward: δ per level, deepest first ----
+    val maxT = levels.size - 1
+    var delta = barrier(
+      levels(maxT).select($"source", $"id", lit(0.0).as("delta")))
+    var allDeltas = List(delta) // every barrier, for release
+    var lvl = maxT - 1
+    while (lvl >= 0) {
+      val wSide = levels(lvl + 1).as("sw")
+        .join(delta.as("dw"), Seq("source", "id"))
+        .select($"source".as("wsource"), $"id".as("w"),
+          $"sw.sigma".as("sigw"), $"dw.delta".as("deltaw"))
+      val agg = levels(lvl).as("lv")
+        .join(adj, $"lv.id" === $"v")
+        .select($"lv.source".as("source"), $"lv.id".as("id"),
+          $"lv.sigma".as("sigv"), $"nbr")
+        .join(wSide, $"nbr" === $"w" && $"source" === $"wsource")
+        .groupBy($"source", $"id")
+        .agg(sum($"sigv".cast("double") / $"sigw".cast("double") *
+          (lit(1.0) + $"deltaw")).as("c"))
+      val deltaT = barrier(
+        levels(lvl).select($"source", $"id")
+          .join(agg, Seq("source", "id"), "left")
+          .select($"source", $"id", coalesce($"c", lit(0.0)).as("delta"))
+          .repartition(p, $"source", $"id"))
+      allDeltas ::= deltaT
+      delta = deltaT
+      lvl -= 1
+    }
+    // bc(v) = Σ over sources and dag levels ≥ 1 (a source's own dist-0
+    // row never contributes — Brandes excludes the endpoint s itself,
+    // which is exactly the lvl-0 delta frame); all vertices, 0.0 default
+    val bcParts = allDeltas.filter(_ ne delta) // all but the lvl-0 frame
+    val verts = adj.select($"v".as("id")).distinct()
+    val out = barrier(
+      if (bcParts.isEmpty || maxT == 0)
+        verts.select($"id", lit(0.0).as("betweenness"))
+      else
+        verts.join(
+            bcParts.reduce(_ union _).groupBy($"id")
+              .agg(sum($"delta").as("b")),
+            Seq("id"), "left")
+          .select($"id", round(coalesce($"b", lit(0.0)), 6).as("betweenness")))
+    levels.foreach(release(_))
+    allDeltas.foreach(release(_))
+    visitedParts.foreach(release(_))
+    adj.releaseLineage()
+    out
+  }
+
   /** Katz centrality (Katz '53), pinned to `maxIter` fixed-point steps:
     * z_0 = 1, z_t(v) = 1 + α · Σ_{u ~ v} z_{t-1}(u), output round(z_T, 6)
     * — the textbook attenuated-paths score (β = 1). No per-iteration

@@ -507,6 +507,27 @@ class LpaTriangleSpec extends SparkSpec {
       ((5L, 5L, 2L, 1L, 1L)) // verts {0,1,2,3,5}; mutual 0↔1; source 5; sink 3
   }
 
+  test("betweenness: path and star closed forms; seed restriction; ends 0") {
+    import graft.operators.Centrality
+    // P5 (0-1-2-3-4), all vertices as seeds: directed-pair counts
+    // (Brandes sums over ordered (s,t)) — 1→6, 2→8, 3→6, ends 0
+    val p5 = spark.createDataset((0L until 4L).map(i => Edge(i, i + 1)))
+    Centrality.betweenness(p5, Seq(0L, 1L, 2L, 3L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      Map(0L -> 0.0, 1L -> 6.0, 2L -> 8.0, 3L -> 6.0, 4L -> 0.0)
+    // seed-restricted to source 0: δ_0 = (3, 2, 1, 0) down the path
+    Centrality.betweenness(p5, Seq(0L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      Map(0L -> 0.0, 1L -> 3.0, 2L -> 2.0, 3L -> 1.0, 4L -> 0.0)
+    // star: hub carries every leaf-to-leaf pair — 3 per leaf source
+    val star = spark.createDataset((1L to 4L).map(i => Edge(0L, i)))
+    Centrality.betweenness(star, Seq(0L, 1L, 2L, 3L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      Map(0L -> 12.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    // empty seeds → empty frame
+    Centrality.betweenness(p5, Seq.empty).count() shouldBe 0L
+  }
+
   test("katz: path-graph closed form; driver fixed-point mirror on random") {
     import graft.operators.Centrality
     // P3 (0-1-2), α=0.1: fixed point z(ends) = 1.1/0.98, z(mid) = 1+0.2·z(0);
