@@ -113,7 +113,7 @@ object Bench {
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "modularity", "harmonic_centrality", "closeness_centrality",
       "eigencentrality", "katz", "random_walks", "hits", "graph_diameter",
-      "digraph_stats", "betweenness",
+      "digraph_stats", "betweenness", "sssp_weighted",
       "sessions", "asof_view_click", "event_funnel", "events_hourly",
       "user_decay", "props_hist", "cc_coactivity", "scc_coactivity",
       "scc_condensation", "cc_incremental",

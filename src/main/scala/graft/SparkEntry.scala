@@ -121,6 +121,17 @@ object SparkEntry {
       graft.operators.GraphMetrics.digraphStats(
         graft.operators.Temporal.coactivityDirectedEdges(
           readEvents(s, dir), "purchase"))),
+    // multi-source weighted shortest paths (Bellman–Ford, exact longs)
+    // over the weighted supplier graph, from the 8 lowest supplier ids
+    "sssp_weighted" -> ((s, dir) => {
+      val w = EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir)
+      import s.implicits._
+      val seeds = w.select($"src".as("id")).union(w.select($"dst".as("id")))
+        .distinct().orderBy($"id").limit(centralitySeedK)
+        .as[Long].collect().toSeq
+      graft.operators.Traversal.weightedDistances(w, seeds)
+        .orderBy("source", "id")
+    }),
     // seed-restricted Brandes betweenness over the SPARSE text fixture
     // (the co-occurrence graphs are near-cliques — diameter ~1 — where
     // betweenness is identically 0; same fixture rationale as fof_recs)
@@ -1076,6 +1087,36 @@ object SparkEntry {
        |ORDER BY v.id""".stripMargin
   }
 
+  /** Weighted-SSSP oracle: Bellman–Ford relaxations unrolled (exact
+    * BIGINT arithmetic — no float anywhere), with an error() guard that
+    * the last two rounds agree (rows only appear and distances only
+    * decrease, so equality ⟺ fixpoint — the engine's own convergence
+    * rule). Every round references its predecessor twice →
+    * MATERIALIZED. */
+  private def ssspOracleSql(weightedEdgesSql: String, k: Int, maxT: Int): String = {
+    val steps = (1 to maxT).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT source, id, min(dist) AS dist FROM (
+         |    SELECT source, id, dist FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT s.source, b.dst AS id, s.dist + b.weight AS dist
+         |    FROM d${t - 1} s JOIN bidir b ON s.id = b.src)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($weightedEdgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst, weight FROM e
+       |  UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
+       |seeds AS (SELECT DISTINCT src AS id FROM bidir ORDER BY id LIMIT $k),
+       |d0 AS MATERIALIZED (
+       |  SELECT id AS source, id, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$steps,
+       |chk AS (SELECT CASE WHEN (SELECT count(*) FROM (
+       |    (SELECT * FROM d$maxT) EXCEPT (SELECT * FROM d${maxT - 1}))) > 0
+       |  THEN error('sssp oracle: unroll too shallow') ELSE 1 END AS ok)
+       |SELECT source, id, CAST(dist AS BIGINT) AS dist
+       |FROM d$maxT CROSS JOIN chk ORDER BY source, id""".stripMargin
+  }
+
   /** SCC ground truth by mutual reachability (v→u AND u→v): a WITH body
     * ending in `scc(id, label)` with label = max id in the SCC — the
     * engine's canonical-label contract. `e` stays visible to the caller
@@ -1242,6 +1283,7 @@ object SparkEntry {
     "eigencentrality" -> eigenvectorOracleSql(nationEdgesSql, eigenIters),
     "katz" -> katzOracleSql(nationEdgesSql, katzAlpha, katzIters),
     "betweenness" -> betweennessOracleSql(fixtureEdgesSql, centralitySeedK, 12),
+    "sssp_weighted" -> ssspOracleSql(nationEdgesWeightedSql, centralitySeedK, 16),
     "hits" -> hitsOracleSql(custSuppDirectedSql, hitsIters),
     "sessions" ->
       """WITH o AS (

@@ -173,6 +173,65 @@ object Traversal {
     }
   }
 
+  /** Multi-source WEIGHTED shortest-path distances (level-synchronous
+    * Bellman–Ford — the textbook distributed choice for nonnegative
+    * integer weights without a priority queue), as (source, id, dist)
+    * over the undirected weighted edge table (src, dst, weight). All
+    * arithmetic is exact longs, so the oracle gate is hash-exact. The
+    * fixpoint is detected WITHOUT an extra join: distances only ever
+    * decrease and rows only ever appear, so an unchanged
+    * (row count, Σdist) pair observed in the round's own
+    * materialization job ⟺ no relaxation fired.
+    *
+    * Scale: one key-partitioned join (state ⋈ adjacency) + one
+    * map-side-combined min agg per round; state is |seeds|·|reached|
+    * rows; superseded state released eagerly. Rounds ≤ the longest
+    * hop-count of any optimal path (≪ V in real link graphs). */
+  def weightedDistances(wedges: DataFrame, seeds: Seq[Long],
+                        maxIter: Int = 64): DataFrame = {
+    val spark = wedges.sparkSession
+    import spark.implicits._
+    if (seeds.isEmpty) // empty seed rule ⇒ empty table
+      return spark.emptyDataFrame
+        .select(lit(0L).as("source"), lit(0L).as("id"), lit(0L).as("dist"))
+        .limit(0)
+    val p = spark.sessionState.conf.numShufflePartitions
+    // weights must be nonnegative (no up-front scan — a negative cycle
+    // cannot reach the (count, Σ) fixpoint, so the maxIter guard fires)
+    val dir = wedges.select($"src".cast("long"), $"dst".cast("long"),
+      $"weight".cast("long"))
+    val adj = dir
+      .union(dir.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .repartition(p, $"src")
+      .cutLineage()
+    var state = barrier(
+      spark.createDataset(seeds.distinct).toDF("source")
+        .select($"source", $"source".as("id"), lit(0L).as("dist"))
+        .repartition(p, $"source", $"id"))
+    var (rows, total) = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val (next, m) = barrierObserved(
+        state
+          .union(state.join(adj, $"id" === $"src")
+            .select($"source", $"dst".as("id"), ($"dist" + $"weight").as("dist")))
+          .groupBy($"source", $"id")
+          .agg(min($"dist").as("dist")),
+        count(lit(1)).as("n"), sum($"dist").as("s"))
+      val n = m("n").asInstanceOf[Long]
+      val s = Option(m("s")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      release(state)
+      state = next
+      converged = n == rows && s == total
+      rows = n; total = s
+    }
+    require(converged, s"weightedDistances: no fixpoint in $maxIter rounds")
+    adj.releaseLineage()
+    state
+  }
+
   /** Seed-restricted distance statistics over seeds × reachable vertices
     * (dist > 0 pairs), one row: `pairs` (reached pairs), `diameter`
     * (max observed distance — the standard sampled-BFS diameter lower

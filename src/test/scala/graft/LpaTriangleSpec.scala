@@ -483,6 +483,26 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("weightedDistances: multi-hop beats heavy direct edge; unreachable omitted") {
+    import graft.operators.Traversal
+    import spark.implicits._
+    // triangle 0-1-2 where 0→2 direct costs 10 but 0→1→2 costs 3;
+    // pendant 3 on 2; disconnected pair 8-9
+    val w = Seq((0L, 2L, 10L), (0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 5L),
+      (8L, 9L, 7L)).toDF("src", "dst", "weight")
+    val got = Traversal.weightedDistances(w, Seq(0L)).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 8L)
+    // multi-source: per-source rows; source 8 reaches only its island
+    val ms = Traversal.weightedDistances(w, Seq(0L, 8L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ms((8L, 9L)) shouldBe 7L
+    ms.keys.count(_._1 == 8L) shouldBe 2
+    ms((0L, 2L)) shouldBe 3L
+    // empty seeds → empty frame
+    Traversal.weightedDistances(w, Seq.empty).count() shouldBe 0L
+  }
+
   test("distanceStats: chain p90 below diameter; star; empty seeds") {
     import graft.operators.Traversal
     // chain 0..10, seed 0: dists 1..10 → diameter 10, p90 = 9 (cum 9/10)
