@@ -54,10 +54,15 @@ object SparkEntry {
     // the one-shot labels, so it shares cc_supplier's oracle
     "cc_incremental" -> ((s, dir) => {
       import s.implicits._
-      val edges = EdgeDerivation.supplierCooccurrence(s, dir)
+      // materialize the co-occurrence derivation ONCE — each batch is a
+      // filter of the barrier, not a re-run of the lineitem self-join
+      val edges = org.apache.spark.sql.GraftLineage.barrier(
+        EdgeDerivation.supplierCooccurrence(s, dir).toDF())
       val m = new graft.streaming.IncrementalCC.LabelMaintainer(s)
       (0 until 3).foreach(i =>
-        m.ingest(edges.filter(pmod(xxhash64($"src", $"dst"), lit(3L)) === i)))
+        m.ingest(edges.filter(pmod(xxhash64($"src", $"dst"), lit(3L)) === i)
+          .as[graft.graph.Edge]))
+      org.apache.spark.sql.GraftLineage.release(edges)
       m.labels.orderBy("id")
     }),
     // multi-component CC (same-nation restriction)
@@ -649,12 +654,22 @@ object SparkEntry {
     * `Temporal.coactivityEdges`; `//` = DuckDB integral division, the
     * exact twin of Spark's `div`). The engine's 1000-user hot-bucket
     * cap is inactive at oracle scale (≤ a handful of users/bucket). */
+  // Both co-activity oracles replicate the engine's hot-bucket cap
+  // (maxGroupSize = 1000) via QUALIFY, each with its own deterministic
+  // keep-rule: the undirected variant keeps the SMALLEST user_ids
+  // (sorted collect_set), the directed one the EARLIEST
+  // (first_us, user_id) arrivals — so the gates stay exact even on a
+  // fixture with a bucket past the cap.
   private val coactivityEdgesSql =
     """SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      |FROM (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
-      |      FROM events WHERE event_type = 'purchase') a
-      |JOIN (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
-      |      FROM events WHERE event_type = 'purchase') b
+      |FROM (SELECT b, user_id FROM
+      |        (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
+      |         FROM events WHERE event_type = 'purchase')
+      |      QUALIFY row_number() OVER (PARTITION BY b ORDER BY user_id) <= 1000) a
+      |JOIN (SELECT b, user_id FROM
+      |        (SELECT DISTINCT epoch_us(ts) // 600000000 AS b, user_id
+      |         FROM events WHERE event_type = 'purchase')
+      |      QUALIFY row_number() OVER (PARTITION BY b ORDER BY user_id) <= 1000) b
       |  ON a.b = b.b AND a.user_id < b.user_id""".stripMargin
 
   /** Directed version (mirrors `Temporal.coactivityDirectedEdges`):
@@ -662,12 +677,16 @@ object SparkEntry {
     * The strict inequalities exclude self-loops by construction. */
   private val coactivityDirectedEdgesSql =
     """SELECT DISTINCT a.user_id AS src, c.user_id AS dst
-      |FROM (SELECT epoch_us(ts) // 600000000 AS b, user_id,
-      |             min(epoch_us(ts)) AS first_us
-      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) a
-      |JOIN (SELECT epoch_us(ts) // 600000000 AS b, user_id,
-      |             min(epoch_us(ts)) AS first_us
-      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) c
+      |FROM (SELECT b, user_id, first_us FROM
+      |        (SELECT epoch_us(ts) // 600000000 AS b, user_id,
+      |                min(epoch_us(ts)) AS first_us
+      |         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |      QUALIFY row_number() OVER (PARTITION BY b ORDER BY first_us, user_id) <= 1000) a
+      |JOIN (SELECT b, user_id, first_us FROM
+      |        (SELECT epoch_us(ts) // 600000000 AS b, user_id,
+      |                min(epoch_us(ts)) AS first_us
+      |         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |      QUALIFY row_number() OVER (PARTITION BY b ORDER BY first_us, user_id) <= 1000) c
       |  ON a.b = c.b AND (a.first_us < c.first_us OR
       |     (a.first_us = c.first_us AND a.user_id < c.user_id))""".stripMargin
 
@@ -1071,7 +1090,7 @@ object SparkEntry {
     val bcUnion = (1 to maxT)
       .map(t => s"SELECT id, delta FROM del$t").mkString(" UNION ALL ")
     s"""${multiSourceBfsCte(edgesSql, k)},
-       |chk AS (SELECT CASE WHEN (SELECT max(d) FROM dist) >= $maxT
+       |chk AS (SELECT CASE WHEN (SELECT max(d) FROM dist) > $maxT
        |  THEN error('betweenness oracle: unroll too shallow') ELSE 1 END AS ok),
        |sig0 AS MATERIALIZED (
        |  SELECT id AS source, id, CAST(1 AS BIGINT) AS sigma FROM seeds),

@@ -175,7 +175,19 @@ object Centrality {
         levels :+= next
         visitedParts ::= next.select($"source", $"id")
         frontier = next
+        if (t % 8 == 0) {
+          // compact the visited union into ONE barrier so the anti-join
+          // probe side stays a short union (same rule as the BFS loop)
+          val merged = barrier(visitedParts.reduce(_ union _))
+          visitedParts = List(merged)
+        }
       } else release(next)
+    }
+    if (frontierSize > 0) { // truncated BFS = silently wrong deltas
+      (levels ++ visitedParts).foreach(release(_))
+      adj.releaseLineage()
+      throw new IllegalStateException(
+        s"betweenness: BFS not converged within maxHops=$maxHops")
     }
     // ---- backward: δ per level, deepest first ----
     val maxT = levels.size - 1

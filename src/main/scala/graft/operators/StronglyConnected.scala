@@ -44,12 +44,18 @@ object StronglyConnected {
       directed.select($"src".cast("long"), $"dst".cast("long"))
         .filter($"src" =!= $"dst").distinct()
         .repartition(p, $"src"))
-    var remaining = barrier(
+    // vertex count observed inside the materialization job itself — a
+    // separate count() is one more constant-time driver job per run
+    // (the strong-scaling serial floor is made of exactly such jobs)
+    val (rem0, remObs) = barrierObserved(
       edges.select($"src".as("id")).union(edges.select($"dst".as("id")))
-        .distinct().repartition(p, $"id"))
+        .distinct().repartition(p, $"id"),
+      count(lit(1)).as("n"))
+    var remaining = rem0
     // accumulated (id, label) assignments; unioned at the end
     var assigned = List.empty[DataFrame]
-    var nRemaining = remaining.count()
+    var nRemaining =
+      Option(remObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     var round = 0
 
     while (nRemaining > 0 && round < maxRounds) {
@@ -61,10 +67,16 @@ object StronglyConnected {
           edges.select($"src".as("id")).distinct()
             .join(edges.select($"dst".as("id")).distinct(), "id")
             .repartition(p, $"id"))
-        val singles = barrier(remaining.join(both, Seq("id"), "left_anti"))
-        val nSingles = singles.count()
+        // singleton SCCs materialized directly as their (id, label)
+        // assignment, with the count folded into the same job
+        val (singles, sObs) = barrierObserved(
+          remaining.join(both, Seq("id"), "left_anti")
+            .select($"id", $"id".as("label")),
+          count(lit(1)).as("n"))
+        val nSingles =
+          Option(sObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         if (nSingles > 0) {
-          assigned ::= barrier(singles.select($"id", $"id".as("label")))
+          assigned ::= singles
           GraftLineage.release(remaining)
           remaining = both
           nRemaining -= nSingles
@@ -76,9 +88,9 @@ object StronglyConnected {
           edges = e2
         } else {
           GraftLineage.release(both)
+          GraftLineage.release(singles)
           trimmed = false
         }
-        GraftLineage.release(singles)
         sweep += 1
       }
       if (nRemaining == 0) { round += 1 }
@@ -135,8 +147,11 @@ object StronglyConnected {
             frontier = newMarks
           }
         }
-        assigned ::= barrier(marked.select($"id", $"c".as("label")))
-        val nAssigned = marked.count()
+        val (asg, aObs) = barrierObserved(
+          marked.select($"id", $"c".as("label")), count(lit(1)).as("n"))
+        assigned ::= asg
+        val nAssigned =
+          Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         // peel the assigned SCCs and iterate on the rest
         val r2 = barrier(
           remaining.join(marked.select($"id"), Seq("id"), "left_anti")
@@ -153,8 +168,11 @@ object StronglyConnected {
         round += 1
       }
     }
-    require(nRemaining == 0,
-      s"scc: $nRemaining vertices unresolved after $maxRounds rounds")
+    if (nRemaining != 0) { // release before throwing (block hygiene)
+      (edges :: remaining :: assigned).foreach(GraftLineage.release(_))
+      throw new IllegalStateException(
+        s"scc: $nRemaining vertices unresolved after $maxRounds rounds")
+    }
     if (assigned.isEmpty) { // empty edge set → empty label table
       GraftLineage.release(edges); GraftLineage.release(remaining)
       return spark.emptyDataFrame

@@ -173,8 +173,12 @@ object Temporal {
     * earlier to each later one (ties on first-event time break by
     * smaller→larger user_id). Relative order flips across buckets, so
     * unlike [[coactivityEdges]] this digraph has real cycles — the
-    * input the SCC operator is gated on. Same hot-bucket cap
-    * (deterministic: the cap keeps the bucket's earliest arrivals). */
+    * input the SCC operator is gated on. Hot-bucket cap like
+    * [[coactivityEdges]] but with its own deterministic keep-rule: the
+    * bucket's `maxGroupSize` EARLIEST (first_us, user_id) arrivals,
+    * where the undirected variant keeps the smallest user_ids — both
+    * rules are replicated in the DuckDB oracles (QUALIFY), so the
+    * gates stay exact past the cap. */
   def coactivityDirectedEdges(events: DataFrame, eventType: String,
                               bucketMinutes: Int = 10,
                               maxGroupSize: Int = 1000): DataFrame = {

@@ -227,7 +227,13 @@ object Traversal {
       converged = n == rows && s == total
       rows = n; total = s
     }
-    require(converged, s"weightedDistances: no fixpoint in $maxIter rounds")
+    if (!converged) { // release before throwing — a failed query must
+      release(state) //  not pin checkpoint blocks for the rest of the JVM
+      adj.releaseLineage()
+      throw new IllegalStateException(
+        s"weightedDistances: no fixpoint in $maxIter rounds " +
+          "(negative weights, or raise maxIter)")
+    }
     adj.releaseLineage()
     state
   }

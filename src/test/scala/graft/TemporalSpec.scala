@@ -151,6 +151,14 @@ class TemporalSpec extends SparkSpec {
       .coactivityDirectedEdges(e, "purchase", bucketMinutes = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     edges shouldBe Set((1L, 2L), (2L, 1L), (3L, 4L))
+    // hot-bucket cap keeps the EARLIEST (first_us, user_id) arrivals:
+    // users 9 (t=0) and 7 (t=1) survive a cap of 2; user 8 (t=2) drops
+    val hot = ev((0L, 0L, 9L, "purchase", 0.0), (1L, 1L, 7L, "purchase", 0.0),
+      (2L, 2L, 8L, "purchase", 0.0))
+    graft.operators.Temporal
+      .coactivityDirectedEdges(hot, "purchase", maxGroupSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((9L, 7L))
   }
 
   test("coactivityEdges: same bucket+type pairs only; boundary starts a new bucket") {
