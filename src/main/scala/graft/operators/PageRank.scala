@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.GraftLineage._
 import org.apache.spark.sql.GraftLineage
-import graft.graph.{Edge, GraphIO}
+import graft.graph.{Edge, GraphIO, SuperstepMetrics}
+import graft.plans.CheckpointManager
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,15 @@ object PageRank {
         * an exact fixpoint, where further iterations are no-ops) — the
         * pinned-iteration mode used by the DuckDB oracle. */
       tol: Double = 1e-10,
-      checkpointEvery: Int = 8)
+      /** when `checkpointDir` is set, write a durable (ranks,
+        * transition-table) snapshot every this many iterations —
+        * [[resume]] continues from the latest one (the north rule's
+        * mid-iteration resumability, same CheckpointManager + metrics
+        * table as the CC strategies). The static transition table is
+        * written once, at the first snapshot. */
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None,
+      runId: String = "pagerank")
 
   final case class Result(ranks: DataFrame, iterations: Int, l1Delta: Double)
 
@@ -176,12 +185,65 @@ object PageRank {
         .select(Seq($"id", rw.as("rank")) ++ rwCols :+ $"dangling": _*)
         .repartition(p, $"id"),
       coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
+    GraftLineage.release(verts) // ranks0 is materialized; verts is done
+    loop(spark, wEdges, ranks0, m0("dmass").asInstanceOf[Double],
+      if (personalized) None else Some(1.0 / n), startIter = 0, cfg,
+      wedgesStep0 = None)
+  }
+
+  /** Continue a run from durable state written by [[Config.checkpointDir]]:
+    * loads the latest rank snapshot + the once-written transition table
+    * and iterates from the recorded iteration (`cfg.maxIter` counts
+    * TOTAL iterations across the original run and the resume — the same
+    * contract as the CC strategies' resume). */
+  def resume(spark: org.apache.spark.sql.SparkSession,
+             checkpointDir: String, cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val ck = new CheckpointManager(spark, checkpointDir)
+    val step = ck.latestStep().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val meta = ck.meta(step)
+    val algo = meta.getOrElse("algo", "")
+    if (algo != "pagerank")
+      throw new IllegalStateException(
+        s"not a pagerank checkpoint under $checkpointDir (algo='$algo')")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val wedgesStep = meta("wedgesStep").toInt
+    val wEdges = ck.load(wedgesStep, "wedges").repartition(p, $"src").cutLineage()
+    val ranks = GraftLineage.barrier(ck.load(step, "ranks").repartition(p, $"id"))
+    // Double.toString round-trips exactly, so the resumed STATE is
+    // bit-identical; final ranks may differ from an uninterrupted run
+    // in the last ulp because the parquet round-trip can permute rows
+    // within partitions and per-vertex neighbor sums are
+    // order-sensitive — the same noise the 1e-6 oracle contract (and
+    // the 6 dp rounds elsewhere) absorb. CC's resume is exact because
+    // max over longs is order-independent.
+    val rwLit = meta.get("rw").filter(_.nonEmpty).map(_.toDouble)
+    loop(spark, wEdges, ranks, meta("dmass").toDouble, rwLit,
+      startIter = meta("iter").toInt,
+      cfg.copy(checkpointDir = Some(checkpointDir)), Some(wedgesStep))
+  }
+
+  /** The power-iteration loop proper, resumable at any iteration
+    * boundary: state is (ranks frame, dangling mass, iteration). */
+  private def loop(spark: org.apache.spark.sql.SparkSession,
+                   wEdges: DataFrame, ranks0: DataFrame, dmass0: Double,
+                   rwLit: Option[Double], startIter: Int, cfg: Config,
+                   wedgesStep0: Option[Int]): Result = {
+    import spark.implicits._
+    val personalized = rwLit.isEmpty
+    val rw: org.apache.spark.sql.Column =
+      rwLit.map(lit(_)).getOrElse($"rw")
+    val rwCols = if (personalized) Seq(col("rw")) else Seq.empty[org.apache.spark.sql.Column]
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
+    var wedgesStep = wedgesStep0
     var ranks = ranks0
-    var danglingMass = m0("dmass").asInstanceOf[Double]
-    var iter = 0
+    var danglingMass = dmass0
+    var iter = startIter
     var delta = Double.MaxValue
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
+      val t0 = System.nanoTime()
       val contribs = wEdges.as("e")
         .join(ranks.as("r"), $"e.src" === $"r.id")
         .groupBy($"e.dst".as("id"))
@@ -216,8 +278,25 @@ object PageRank {
       GraftLineage.release(ranks)
       ranks = next.select(Seq($"id", $"rank") ++ rwCols :+ $"dangling": _*)
       iter += 1
+      ck.foreach { c =>
+        c.appendMetrics(Seq(SuperstepMetrics(cfg.runId, "pagerank", iter,
+          0L, 0L, -1L, 0, (System.nanoTime() - t0) / 1000000)))
+        val willContinue = iter < cfg.maxIter && delta > cfg.tol
+        if (iter % cfg.checkpointEvery == 0 && willContinue) {
+          // the static transition table is written once, at the first
+          // snapshot; later snapshots only rewrite the small rank table
+          val tables = Map("ranks" -> ranks) ++
+            (if (wedgesStep.isEmpty) Map("wedges" -> wEdges) else Map.empty)
+          if (wedgesStep.isEmpty) wedgesStep = Some(iter)
+          c.save(iter, tables, Map(
+            "algo" -> "pagerank", "runId" -> cfg.runId,
+            "iter" -> iter.toString, "dmass" -> danglingMass.toString,
+            "rw" -> rwLit.map(_.toString).getOrElse(""),
+            "wedgesStep" -> wedgesStep.get.toString))
+        }
+      }
     }
-    GraftLineage.release(wEdges); GraftLineage.release(verts)
+    GraftLineage.release(wEdges)
     Result(ranks.select($"id", $"rank"), iter, delta)
   }
 }

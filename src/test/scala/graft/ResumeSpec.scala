@@ -111,4 +111,38 @@ class ResumeSpec extends SparkSpec {
     ck.save(3, Map("edges" -> df), tricky)
     ck.meta(3) shouldBe (tricky + ("step" -> "3"))
   }
+
+  test("PageRank resumes from a mid-run snapshot; ranks match to ulp noise") {
+    import graft.operators.PageRank
+    val dir = Files.createTempDirectory("graft-ckpt-pr").toString
+    val edges = Generators.random(spark, 200, 400, seed = 9L)
+    // uninterrupted pinned 8-iteration reference
+    val full = PageRank.run(edges,
+      cfg = PageRank.Config(maxIter = 8, tol = 0.0)).ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "killed" run: 5 iterations with snapshots every 2 (latest = 4)
+    val part = PageRank.run(edges, cfg = PageRank.Config(maxIter = 5,
+      tol = 0.0, checkpointEvery = 2, checkpointDir = Some(dir), runId = "pr1"))
+    part.iterations shouldBe 5
+    new CheckpointManager(spark, dir).latestStep().get shouldBe 4
+    // resume to the same total budget: 4 more iterations from step 4.
+    // The saved scalars/doubles round-trip exactly (Double.toString),
+    // but the parquet round-trip can permute rows WITHIN partitions, so
+    // per-vertex neighbor sums may differ in the last ulp — the same
+    // order-noise the 1e-6 oracle contract absorbs. Assert ≤1e-12 rel.
+    val resumed = PageRank.resume(spark, dir,
+      PageRank.Config(maxIter = 8, tol = 0.0, runId = "pr1-resume"))
+    resumed.iterations shouldBe 8
+    val got = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.keySet shouldBe full.keySet
+    got.foreach { case (v, r) =>
+      math.abs(r - full(v)) should be <= 1e-12 * math.max(math.abs(full(v)), 1e-30)
+    }
+    // both runs' per-iteration metrics are durable
+    val persisted = new CheckpointManager(spark, dir).loadMetrics().collect()
+      .map(r => (r.getAs[String]("runId"), r.getAs[Int]("superstep")))
+    persisted.count(_._1 == "pr1") shouldBe 5
+    persisted.filter(_._1 == "pr1-resume").map(_._2).sorted shouldBe
+      Array(5, 6, 7, 8)
+  }
 }
