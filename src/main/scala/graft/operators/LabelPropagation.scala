@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.GraftLineage._
 import org.apache.spark.sql.GraftLineage
-import graft.graph.{Edge, GraphIO}
+import graft.graph.{Edge, GraphIO, SuperstepMetrics}
+import graft.plans.CheckpointManager
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -24,7 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
-  final case class Config(maxIter: Int = 20)
+  final case class Config(
+      maxIter: Int = 20,
+      /** durable resumability like PageRank/CC: when `checkpointDir` is
+        * set, snapshot the label table every this many iterations (the
+        * static adjacency written once, at the first snapshot) —
+        * [[resume]] continues from the latest snapshot. Labels and
+        * votes are integers (max/argmax are order-independent), so a
+        * resumed run is EXACTLY equal to an uninterrupted one. */
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None,
+      runId: String = "lpa")
 
   final case class Result(labels: DataFrame, iterations: Int, converged: Boolean)
 
@@ -78,11 +89,47 @@ object LabelPropagation {
       .distinct()
       .cutLineage()
 
-    var labels = verts.select($"id", $"id".as("label")).cutLineage()
-    var iter = 0
+    val labels0 = verts.select($"id", $"id".as("label")).cutLineage()
+    GraftLineage.release(verts)
+    loop(spark, bidir, labels0, startIter = 0, cfg, bidirStep0 = None)
+  }
+
+  /** Continue a run from durable state written by [[Config.checkpointDir]]
+    * (`cfg.maxIter` counts TOTAL iterations across both runs, like the
+    * CC/PageRank resumes). */
+  def resume(spark: org.apache.spark.sql.SparkSession,
+             checkpointDir: String, cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val ck = new CheckpointManager(spark, checkpointDir)
+    val step = ck.latestStep().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val meta = ck.meta(step)
+    val algo = meta.getOrElse("algo", "")
+    if (algo != "lpa")
+      throw new IllegalStateException(
+        s"not an lpa checkpoint under $checkpointDir (algo='$algo')")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val bidirStep = meta("bidirStep").toInt
+    val bidir = ck.load(bidirStep, "bidir").repartition(p, $"src").cutLineage()
+    val labels = GraftLineage.barrier(ck.load(step, "labels").repartition(p, $"id"))
+    loop(spark, bidir, labels, meta("iter").toInt,
+      cfg.copy(checkpointDir = Some(checkpointDir)), Some(bidirStep))
+  }
+
+  /** The propagation loop proper, resumable at any iteration boundary:
+    * state is (label frame, iteration). */
+  private def loop(spark: org.apache.spark.sql.SparkSession,
+                   bidir: DataFrame, labels0: DataFrame, startIter: Int,
+                   cfg: Config, bidirStep0: Option[Int]): Result = {
+    import spark.implicits._
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
+    var bidirStep = bidirStep0
+    var labels = labels0
+    var iter = startIter
     var changed = 1L
 
     while (iter < cfg.maxIter && changed > 0) {
+      val t0 = System.nanoTime()
       // heaviest neighbor label (unweighted: weight ≡ 1 → most
       // frequent); ties → smallest label. argmax as a single hash agg:
       // max_by over (vote, -label).
@@ -108,8 +155,22 @@ object LabelPropagation {
       GraftLineage.release(labels)
       labels = next.select($"id", $"label")
       iter += 1
+      ck.foreach { c =>
+        c.appendMetrics(Seq(SuperstepMetrics(cfg.runId, "lpa", iter,
+          0L, 0L, changed, 0, (System.nanoTime() - t0) / 1000000)))
+        val willContinue = iter < cfg.maxIter && changed > 0
+        if (iter % cfg.checkpointEvery == 0 && willContinue) {
+          // static adjacency written once, at the first snapshot
+          val tables = Map("labels" -> labels) ++
+            (if (bidirStep.isEmpty) Map("bidir" -> bidir) else Map.empty)
+          if (bidirStep.isEmpty) bidirStep = Some(iter)
+          c.save(iter, tables, Map(
+            "algo" -> "lpa", "runId" -> cfg.runId,
+            "iter" -> iter.toString, "bidirStep" -> bidirStep.get.toString))
+        }
+      }
     }
-    GraftLineage.release(bidir); GraftLineage.release(verts)
+    GraftLineage.release(bidir)
     Result(labels, iter, changed == 0)
   }
 }

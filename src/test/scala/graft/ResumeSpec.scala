@@ -145,4 +145,31 @@ class ResumeSpec extends SparkSpec {
     persisted.filter(_._1 == "pr1-resume").map(_._2).sorted shouldBe
       Array(5, 6, 7, 8)
   }
+
+  test("LPA resumes from a mid-run snapshot to EXACTLY equal labels") {
+    import graft.operators.LabelPropagation
+    val dir = Files.createTempDirectory("graft-ckpt-lpa").toString
+    val edges = Generators.random(spark, 300, 450, seed = 13L)
+    val fullRes = LabelPropagation.run(edges,
+      cfg = LabelPropagation.Config(maxIter = 20))
+    val full = fullRes.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "killed" run: stop at 3 with snapshots every 2 (latest = 2)
+    val part = LabelPropagation.run(edges,
+      cfg = LabelPropagation.Config(maxIter = 3, checkpointEvery = 2,
+        checkpointDir = Some(dir), runId = "lpa1"))
+    part.converged shouldBe false // else the resume below is trivial
+    new CheckpointManager(spark, dir).latestStep().get shouldBe 2
+    // labels/votes are integers and the update is deterministic, so the
+    // resumed trajectory is EXACTLY the uninterrupted one — same
+    // iteration count, same labels (synchronous LPA may oscillate and
+    // never set converged; that is the documented semantics, and the
+    // resume must reproduce it too, not just fixpoints)
+    val resumed = LabelPropagation.resume(spark, dir,
+      LabelPropagation.Config(maxIter = 20, runId = "lpa1-resume"))
+    resumed.iterations shouldBe fullRes.iterations
+    resumed.converged shouldBe fullRes.converged
+    resumed.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      full
+  }
 }
