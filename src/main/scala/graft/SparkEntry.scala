@@ -495,6 +495,42 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
     }),
+    // ---- corpus management: deterministic split / decontamination ----
+    // content-hash train/val/test assignment (pure projection, no shuffle;
+    // byte-identical docs always land in the same split)
+    "corpus_split" -> ((s, dir) =>
+      graft.functions.Corpus.splitAssign(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+    // per split × lang document/token budget — the table a pipeline
+    // publishes after splitting (partial-agged groupBy, codegen'd counters)
+    "split_summary" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(graft.functions.Corpus.splitExpr(col("text")).as("split"),
+          col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+    // benchmark decontamination: distinct 5-gram overlap of every corpus
+    // doc against the benchmark set (doc_id % 25 == 0 stands in for an
+    // eval suite). At k=5 chance collisions vanish — only true
+    // near-copies of benchmark items flag (the sf0.01 corpus flags
+    // exactly its one planted benchmark near-dup).
+    "decontaminate" -> ((s, dir) =>
+      graft.functions.Corpus.contamination(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"),
+          col("text"), col("doc_id") % 25 === 0)
+        .orderBy("doc_id")),
+    // train/test leakage: near-dup pairs (LSH path, threshold 0.8) whose
+    // endpoints fall in different splits — gated against the exact
+    // all-pairs oracle joined to the split rule
+    "split_leakage" -> ((s, dir) =>
+      graft.functions.Corpus.crossSplitLeakage(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
       graft.functions.Dedup.exactGroups(
@@ -718,11 +754,10 @@ object SparkEntry {
       |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
       |        FROM documents))""".stripMargin
 
-  /** Shared oracle fragment: exact all-pairs near-dup clusters at
-    * threshold 0.8 (CTEs `t` → `pairs` → `bidir` → `reach` → `clusters`,
-    * canonical max-id labels — the engine's CC semantics). Needs
-    * `WITH RECURSIVE`. */
-  private val dedupClustersCteSql =
+  /** Shared oracle fragment: exact all-pairs near-dup PAIRS at threshold
+    * 0.8 (CTEs `t` → `pairs`) — the ground truth the LSH candidate path
+    * is gated against. Reused standalone by `split_leakage`. */
+  private val nearPairsCteSql =
     s"""$shingleCteSql,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -730,7 +765,22 @@ object SparkEntry {
        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
        |        THEN CAST(1.0 AS DOUBLE)
        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8),
+       |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8)""".stripMargin
+
+  /** Shared oracle fragment: the deterministic content-hash split rule
+    * (first sha256 nibble: 0-b train, c-d val, e-f test) — one copy so
+    * the three split oracles cannot drift. Expects `text` in scope. */
+  private val splitCaseSql =
+    """CASE WHEN substr(sha256(text),1,1) IN ('c','d') THEN 'val'
+      |     WHEN substr(sha256(text),1,1) IN ('e','f') THEN 'test'
+      |     ELSE 'train' END""".stripMargin
+
+  /** Shared oracle fragment: exact all-pairs near-dup clusters at
+    * threshold 0.8 (CTEs `t` → `pairs` → `bidir` → `reach` → `clusters`,
+    * canonical max-id labels — the engine's CC semantics). Needs
+    * `WITH RECURSIVE`. */
+  private val dedupClustersCteSql =
+    s"""$nearPairsCteSql,
        |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |reach AS (
@@ -1890,6 +1940,47 @@ object SparkEntry {
       """SELECT sha256(text) AS content_sha,
         |  CAST(min(doc_id) AS BIGINT) AS rep_id,
         |  CAST(count(*) AS BIGINT) AS cnt
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_split" ->
+      s"""SELECT doc_id, $splitCaseSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "split_summary" ->
+      raw"""WITH s AS (
+        |  SELECT $splitCaseSql AS split, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 5-token-gram variant of the shingle fragment (same short-doc rule:
+    // fewer than 5 tokens → the whole text as one gram, like the engine)
+    "decontaminate" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5
+        |    THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(generate_series(1, len(tk) - 4),
+        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END) AS sh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(sh) AS gg FROM g WHERE doc_id % 25 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(sh) AS gg FROM g WHERE doc_id % 25 <> 0) x
+        |  JOIN bench USING (gg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(c, 0) AS BIGINT) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(c, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE doc_id % 25 <> 0 ORDER BY doc_id""".stripMargin,
+    "split_leakage" ->
+      s"""WITH $nearPairsCteSql,
+         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+         |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+         |             JOIN sp sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: deterministic
+  * train/val/test splitting, benchmark decontamination (n-gram overlap
+  * against an eval set), and cross-split leakage detection. These sit
+  * downstream of the dedup family ([[Dedup]]) in the pipeline the brief
+  * describes: dedup → quality/lang filter → split → decontaminate.
+  *
+  * 100 TB design notes:
+  *  - splits are a pure content-hash projection (zero shuffles, fully
+  *    codegen'd, reproducible across runs and engines);
+  *  - decontamination broadcasts the BENCHMARK n-gram set (eval suites
+  *    are MB-scale by construction) and makes one pass over the corpus:
+  *    explode k-grams → broadcast semi-join → partial-agg count. The
+  *    corpus text itself is never shuffled;
+  *  - leakage reuses the bucketed LSH near-dup machinery (no all-pairs)
+  *    and only joins the resulting PAIR list (tiny relative to the
+  *    corpus) against the split projection.
+  */
+object Corpus {
+
+  /** Deterministic split assignment from the first hex nibble of the
+    * content sha256: 0-b → train (12/16), c-d → val (2/16), e-f → test
+    * (2/16). Hashing CONTENT (not ids) pins byte-identical documents to
+    * the same split, so exact duplicates can never straddle a split
+    * boundary; near-duplicate leakage is what [[crossSplitLeakage]]
+    * measures. */
+  def splitExpr(text: Column): Column = {
+    val h = substring(sha2(text, 256), 1, 1)
+    when(h.isin("c", "d"), "val")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /** Per-document split assignment: (id, split). */
+  def splitAssign(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), splitExpr(text).as("split"))
+
+  /** Benchmark contamination: for every corpus document (rows where
+    * `benchPred` is false), the number of its distinct k-token n-grams
+    * that appear in ANY benchmark document (rows where `benchPred` is
+    * true), plus a 0/1 contaminated flag. This is the standard eval-set
+    * decontamination primitive: at k=5, chance n-gram collisions vanish
+    * and only true near-copies of benchmark items are flagged.
+    *
+    * The benchmark n-gram set is broadcast (eval suites are small by
+    * nature); the corpus side is one scan + explode + broadcast join +
+    * count, with the per-doc grams already distinct so the join-hit
+    * count IS the distinct-overlap count. */
+  def contamination(docs: DataFrame, id: Column, text: Column,
+                    benchPred: Column, k: Int = 5): DataFrame = {
+    val grams = docs.select(id.as("doc_id"), benchPred.as("is_bench"),
+      array_distinct(Dedup.shingles(text, k)).as("sh"))
+    val bench = broadcast(
+      grams.filter(col("is_bench"))
+        .select(explode(col("sh")).as("g")).distinct())
+    val hits = grams.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!benchPred)
+      .select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** Near-duplicate pairs that straddle a split boundary — the train/test
+    * leakage check a pipeline runs after splitting. Pairs come from the
+    * gated LSH near-dup path ([[Dedup.nearDuplicates]], threshold
+    * `threshold`); each endpoint's split is joined from the content-hash
+    * projection. */
+  def crossSplitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docs, idCol, textCol, threshold = threshold)
+    val splits = splitAssign(docs, col(idCol), col(textCol))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+  }
+}

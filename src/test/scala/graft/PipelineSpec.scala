@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Corpus, Dedup, Similarity, TextAnalysis}
 import graft.sources.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -388,5 +388,58 @@ class PipelineSpec extends SparkSpec {
     }
     frames.select($"media_id").distinct().count() shouldBe
       media.filter($"kind" === "video").count()
+  }
+
+  test("corpus split: deterministic, content-keyed, covers all three splits") {
+    val many = spark.range(0, 400)
+      .selectExpr("id AS doc_id",
+        "concat('doc body number ', CAST(id AS STRING), ' with some filler') AS text")
+    val a = Corpus.splitAssign(many, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Corpus.splitAssign(many.repartition(7), $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a shouldBe b // deterministic under re-partitioning
+    a.values.toSet shouldBe Set("train", "val", "test")
+    // train is the 12/16 bucket — must dominate
+    a.values.count(_ == "train") should be > 200
+    // exact duplicates (same content) always share a split
+    val dup = Corpus.splitAssign(docs, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    dup(0L) shouldBe dup(3L)
+  }
+
+  test("contamination flags only true near-copies of the benchmark set") {
+    // benchmark = doc 0; doc 1 is its near-copy (shares long token runs),
+    // docs 2/9 are unrelated, doc 3 is an exact copy of the benchmark
+    val res = Corpus.contamination(docs, $"doc_id", $"text",
+        $"doc_id" === 0L, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    res.contains(0L) shouldBe false // benchmark rows excluded
+    res(3L)._2 shouldBe 1L // exact copy: every 5-gram overlaps
+    res(3L)._1 shouldBe 9L // 13 tokens → 9 distinct 5-grams
+    res(1L)._2 shouldBe 1L // near-copy shares the leading 5-gram runs
+    res(1L)._1 should be > 0L
+    res(2L) shouldBe (0L, 0L)
+    res(9L) shouldBe (0L, 0L)
+  }
+
+  test("cross-split leakage pairs are near-dups with differing splits") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val leaks = Corpus.crossSplitLeakage(d, "doc_id", "text", threshold = 0.8)
+      .collect()
+    val splits = Corpus.splitAssign(d, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    leaks.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      pairs should contain((a, b))
+      splits(a) should not be splits(b)
+      r.getAs[String]("split_a") shouldBe splits(a)
+      r.getAs[String]("split_b") shouldBe splits(b)
+    }
+    // and it is exactly the cross-split subset of the near-dup pairs
+    leaks.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet shouldBe
+      pairs.filter { case (a, b) => splits(a) != splits(b) }
   }
 }
