@@ -220,6 +220,19 @@ object SparkEntry {
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
         EdgeDerivation.supplierCooccurrenceByNation(s, dir), k = 3).orderBy("id")),
+    // FULL core decomposition (h-index fixpoint — the distributed
+    // alternative to sequential peeling; coreness ≥ 3 ⟺ kcore3)
+    "coreness" -> ((s, dir) =>
+      graft.operators.Traversal.coreness(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir)).orderBy("id")),
+    // per-community conductance of the LPA partition (community quality
+    // next to the global modularity; exact integer vol/cut alongside)
+    "community_conductance" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val labels = graft.operators.LabelPropagation.run(edges,
+        cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters)).labels
+      GraphMetrics.communityConductance(edges, labels).orderBy("label")
+    }),
     // per-vertex local clustering coefficient (dense; 6 dp)
     "clustering_coeff" -> ((s, dir) =>
       TriangleCount.clusteringCoefficient(
@@ -985,10 +998,12 @@ object SparkEntry {
        |ORDER BY id""".stripMargin
   }
 
-  /** Fixed-iteration synchronous LPA (most frequent neighbor label, ties
-    * → smallest) as an unrolled chain of CTEs — integer state, exact. */
-  private def lpaOracleSql(edgesSql: String, iters: Int): String = {
-    val steps = (1 to iters).map { t =>
+  /** The unrolled synchronous-LPA step chain `l1..l$iters` (most
+    * frequent neighbor label, ties → smallest; expects `bidir` and `l0`
+    * in scope) — ONE copy shared by the lpa / modularity /
+    * community_conductance oracles so the three cannot drift. */
+  private def lpaStepsSql(iters: Int): String =
+    (1 to iters).map { t =>
       s"""l$t AS (SELECT id, nl AS label FROM (
          |  SELECT b.dst AS id, l.label AS nl,
          |    row_number() OVER (PARTITION BY b.dst
@@ -996,6 +1011,11 @@ object SparkEntry {
          |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
          |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+
+  /** Fixed-iteration synchronous LPA (most frequent neighbor label, ties
+    * → smallest) as an unrolled chain of CTEs — integer state, exact. */
+  private def lpaOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = lpaStepsSql(iters)
     s"""WITH e AS ($edgesSql),
        |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
@@ -1029,14 +1049,7 @@ object SparkEntry {
     * written as a product of the SAME quotient the engine computes, so
     * the doubles agree bit-for-bit before the 6 dp round. */
   private def modularityOracleSql(edgesSql: String, iters: Int): String = {
-    val steps = (1 to iters).map { t =>
-      s"""l$t AS (SELECT id, nl AS label FROM (
-         |  SELECT b.dst AS id, l.label AS nl,
-         |    row_number() OVER (PARTITION BY b.dst
-         |                       ORDER BY count(*) DESC, l.label ASC) AS rn
-         |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
-         |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val steps = lpaStepsSql(iters)
     s"""WITH e AS ($edgesSql),
        |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
@@ -1062,6 +1075,72 @@ object SparkEntry {
        |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm)))), 6)
        |  AS modularity
        |FROM dc LEFT JOIN within w ON dc.c = w.c""".stripMargin
+  }
+
+  /** Per-community conductance of the `iters`-step LPA partition: the
+    * shared lpa CTE chain, then per community C (via one UNION ALL of
+    * both edge endpoints, like the engine's explode): vol = row count,
+    * cut = cross-community rows, φ = cut / min(vol, 2m − vol) (0 when
+    * the denominator is 0). Integers until the one final division. */
+  private def conductanceOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = lpaStepsSql(iters)
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps,
+       |lab AS MATERIALIZED (SELECT id, label FROM l$iters),
+       |mm AS (SELECT count(*) AS m FROM e),
+       |ann AS MATERIALIZED (
+       |  SELECT la.label AS ls, lb.label AS ld
+       |  FROM e JOIN lab la ON e.src = la.id
+       |         JOIN lab lb ON e.dst = lb.id),
+       |ends AS (
+       |  SELECT ls AS c, CASE WHEN ls <> ld THEN 1 ELSE 0 END AS cut FROM ann
+       |  UNION ALL
+       |  SELECT ld AS c, CASE WHEN ls <> ld THEN 1 ELSE 0 END AS cut FROM ann),
+       |agg AS (SELECT c AS label, CAST(count(*) AS BIGINT) AS vol,
+       |               CAST(sum(cut) AS BIGINT) AS cut
+       |        FROM ends GROUP BY c)
+       |SELECT label, vol, cut,
+       |  CASE WHEN least(vol, 2 * (SELECT m FROM mm) - vol) = 0
+       |       THEN CAST(0.0 AS DOUBLE)
+       |       ELSE round(CAST(cut AS DOUBLE) /
+       |            CAST(least(vol, 2 * (SELECT m FROM mm) - vol) AS DOUBLE), 6)
+       |  END AS conductance
+       |FROM agg ORDER BY label""".stripMargin
+  }
+
+  /** Full core decomposition by h-index iteration, unrolled `iters`
+    * steps (MATERIALIZED per the kcore lesson — each step is referenced
+    * twice), mirroring the engine's histogram form exactly: s0 = degree;
+    * s_{t+1}(v) = max over present neighbor values c of
+    * min(c, #neighbors with value ≥ c). The final projection carries an
+    * `error()` two-step-agreement guard (values only decrease, so equal
+    * consecutive sums ⟺ fixpoint = coreness). */
+  private def corenessOracleSql(edgesSql: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""n$t AS MATERIALIZED (
+         |  SELECT b.src AS v, s.c AS c, count(*) AS n
+         |  FROM bidir b JOIN s${t - 1} s ON b.dst = s.id GROUP BY 1, 2),
+         |s$t AS MATERIALIZED (
+         |  SELECT v AS id, CAST(max(least(c, cum)) AS BIGINT) AS c FROM (
+         |    SELECT v, c, sum(n) OVER (PARTITION BY v ORDER BY c DESC) AS cum
+         |    FROM n$t)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |s0 AS MATERIALIZED (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS c FROM bidir GROUP BY src),
+       |$steps
+       |SELECT id, c AS coreness FROM s$iters
+       |WHERE CASE WHEN (SELECT sum(c) FROM s${iters - 1}) <>
+       |                (SELECT sum(c) FROM s$iters)
+       |      THEN error('coreness oracle not converged at $iters steps: raise iters')
+       |      ELSE true END
+       |ORDER BY id""".stripMargin
   }
 
   /** Shared multi-source-BFS CTE prefix for the sampled-centrality
@@ -1708,6 +1787,8 @@ object SparkEntry {
          |SELECT id, CAST(min(d) AS BIGINT) AS dist
          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "kcore3" -> kCoreOracleSql(nationEdgesSql, k = 3, iters = 25),
+    "coreness" -> corenessOracleSql(nationEdgesSql, iters = 8),
+    "community_conductance" -> conductanceOracleSql(nationEdgesSql, lpaIters),
     "ktruss4" -> kTrussOracleSql(nationEdgesSql, k = 4, iters = 15),
     "clustering_coeff" ->
       s"""WITH e AS ($nationEdgesSql),

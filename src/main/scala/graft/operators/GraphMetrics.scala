@@ -58,6 +58,43 @@ object GraphMetrics {
       .agg(round(sum($"q"), 6).as("modularity"))
   }
 
+  /** Per-community conductance of a partition (the community-quality
+    * metric alongside the global [[modularity]]): for community C,
+    * φ(C) = cut(C) / min(vol(C), 2m − vol(C)), with cut = edges
+    * leaving C, vol = Σ degrees inside C, m = |edges|; φ = 0 when the
+    * denominator is 0 (C is the whole graph). All numerators/
+    * denominators are exact integers (emitted alongside), only the
+    * final ratio is rounded to 6 dp.
+    *
+    * Scale: two key-partitioned label joins on the edge table, then ONE
+    * map-side-combinable aggregation over the per-endpoint explode —
+    * each edge contributes (label_src, cut?) and (label_dst, cut?), so
+    * vol(C) = row count and cut(C) = flagged count per community. No
+    * per-community windows, no broadcast of the label table required
+    * (it joins co-partitioned on id). */
+  def communityConductance(edges: Dataset[Edge], labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = GraphIO.canonical(edges).toDF()
+    val lab = labels.select($"id", $"label")
+    val m = canon.count()
+    val annotated = canon
+      .join(lab.select($"id".as("src"), $"label".as("ls")), Seq("src"))
+      .join(lab.select($"id".as("dst"), $"label".as("ld")), Seq("dst"))
+      .select(explode(array(
+          struct($"ls".as("c"), ($"ls" =!= $"ld").cast("long").as("cut")),
+          struct($"ld".as("c"), ($"ls" =!= $"ld").cast("long").as("cut"))))
+        .as("x"))
+      .select($"x.c".as("c"), $"x.cut".as("cut"))
+    annotated.groupBy($"c".as("label"))
+      .agg(count(lit(1)).as("vol"), sum($"cut").as("cut"))
+      .select($"label", $"vol", $"cut",
+        when(least($"vol", lit(2L * m) - $"vol") === 0L, lit(0.0))
+          .otherwise(round($"cut".cast("double") /
+            least($"vol", lit(2L * m) - $"vol").cast("double"), 6))
+          .as("conductance"))
+  }
+
   /** A6 — per-partition edge tally (reference: MPI_Gather of slice sizes,
     * `SparseSampling.hpp:169-183`); partition-balance diagnostics. */
   def partitionHistogram(df: DataFrame): DataFrame =

@@ -173,6 +173,60 @@ object Traversal {
     }
   }
 
+  /** Full core decomposition by h-index iteration (Lü, Zhou, Zhang,
+    * Stanley, "The H-index of a network node", Nature Comm. 2016):
+    * c⁰(v) = deg(v); cᵗ⁺¹(v) = H({cᵗ(u) : u ∈ N(v)}), where H is the
+    * h-index of the neighbor multiset. The sequence is pointwise
+    * non-increasing and converges to the coreness (max k such that v is
+    * in the k-core) — the fully-distributed alternative to sequential
+    * peeling, which is why it is the 100 TB-shape choice here.
+    *
+    * Per iteration: one key-partitioned join (adjacency ⋈ state) + a
+    * map-side-combinable (v, value) histogram + a per-vertex running
+    * sum over DISTINCT values only. The h-index is
+    * max over present values c of min(c, #{neighbors with value ≥ c}) —
+    * computing it over the value histogram instead of raw neighbor rows
+    * keeps hub tasks bounded by their distinct-value count, not their
+    * degree (the skew-safe form). Convergence is observed from Σc in
+    * the round's own materialization job (values only decrease, so an
+    * unchanged sum ⟺ fixpoint) — no extra comparison join. */
+  def coreness(edges: Dataset[Edge], maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    scopedBlocks(spark) {
+      val e = GraphIO.canonical(edges).toDF()
+      val bidir = barrier(
+        e.select($"src", $"dst").union(e.select($"dst".as("src"), $"src".as("dst"))))
+      val sumMetric = sum($"c").as("csum")
+      val (deg, obs0) = barrierObserved(
+        bidir.groupBy($"src".as("id")).agg(count(lit(1)).as("c")), sumMetric)
+      var state = deg
+      var prevSum = Option(obs0("csum")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      var changed = prevSum > 0
+      var iter = 0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"v").orderBy($"c".desc)
+      while (changed && iter < maxIter) {
+        iter += 1
+        val hist = bidir
+          .join(state.select($"id".as("dst"), $"c"), Seq("dst"))
+          .groupBy($"src".as("v"), $"c").agg(count(lit(1)).as("n"))
+        val (next, obs) = barrierObserved(
+          hist.withColumn("cum", sum($"n").over(w))
+            .groupBy($"v".as("id"))
+            .agg(max(least($"c", $"cum")).as("c")),
+          sumMetric)
+        val s2 = Option(obs("csum")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        release(state)
+        state = next
+        changed = s2 != prevSum
+        prevSum = s2
+      }
+      require(!changed, s"coreness did not converge in $maxIter iterations")
+      state.select($"id", $"c".cast("long").as("coreness"))
+    }
+  }
+
   /** Multi-source WEIGHTED shortest-path distances (level-synchronous
     * Bellman–Ford — the textbook distributed choice for nonnegative
     * integer weights without a priority queue), as (source, id, dist)

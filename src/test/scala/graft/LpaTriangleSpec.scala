@@ -240,6 +240,56 @@ class LpaTriangleSpec extends SparkSpec {
       (0L until 6L).toSet
   }
 
+  test("coreness: closed forms, peel cascade, and agreement with k-core peeling") {
+    import graft.operators.Traversal
+    def cores(edges: Seq[Edge]): Map[Long, Long] =
+      Traversal.coreness(spark.createDataset(edges)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 + pendant path: K4 is the 3-core, the path peels to coreness 1
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield Edge(i, j)
+    val pendant = Seq(Edge(3L, 10L), Edge(10L, 11L), Edge(11L, 12L))
+    cores(k4 ++ pendant) shouldBe Map(
+      0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 1L, 11L -> 1L, 12L -> 1L)
+    // chain: everything coreness 1 (needs >1 h-index iterations to
+    // propagate from the endpoints — degree starts at 2 inside)
+    val chain = (0L until 8L).map(i => Edge(i, i + 1))
+    cores(chain).values.toSet shouldBe Set(1L)
+    // cycle: coreness 2 everywhere
+    cores((0L until 6L).map(i => Edge(i, (i + 1) % 6))).values.toSet shouldBe Set(2L)
+    // metamorphic vs the independent peeling implementation on a random
+    // graph: {v : coreness(v) ≥ k} must equal the k-core vertex set
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).map(e => Edge(e._1, e._2))
+    val cn = cores(rand)
+    for (k <- 2 to 4) {
+      val peeled = Traversal.kCoreVertices(spark.createDataset(rand), k)
+        .collect().map(_.getLong(0)).toSet
+      cn.filter(_._2 >= k).keySet shouldBe peeled
+    }
+  }
+
+  test("community conductance: hand-computed two-triangle bridge; whole-graph community is 0") {
+    import graft.operators.GraphMetrics
+    def phi(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) =
+      GraphMetrics.communityConductance(
+          spark.createDataset(edges.map(e => graft.graph.Edge(e._1, e._2))),
+          spark.createDataset(labels).toDF("id", "label"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // two triangles joined by the bridge 2-3; m = 7
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val split = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val got = phi(g, split)
+    // vol = 2+2+3 = 7 per side, cut = 1, φ = 1/min(7, 14-7) = 1/7
+    got(0L) shouldBe ((7L, 1L, BigDecimal(1.0 / 7.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got(1L) shouldBe ((7L, 1L, got(0L)._3))
+    // single community covering the whole graph: denominator 0 → φ = 0
+    val one = phi(g, split.map { case (id, _) => id -> 0L })
+    one(0L) shouldBe ((14L, 0L, 0.0))
+  }
+
   test("clustering coefficient and common neighbors: K4 and brute force on random") {
     import org.apache.spark.sql.functions._
     // K4: every vertex has deg 3, sits in 3 triangles → cc = 2*3/(3*2) = 1
