@@ -216,6 +216,18 @@ object SparkEntry {
         de, graft.operators.StronglyConnected.scc(de))
         .orderBy("src_scc", "dst_scc")
     }),
+    // longest-path topological levels of the condensation DAG (schedule
+    // depth per SCC; the iterative max-propagation also certifies
+    // acyclicity — a cycle would never converge)
+    "condensation_levels" -> ((s, dir) => {
+      val de = graft.operators.Temporal.coactivityDirectedEdges(
+        readEvents(s, dir), "purchase")
+      val dag = graft.operators.StronglyConnected.condensation(
+        de, graft.operators.StronglyConnected.scc(de))
+      graft.operators.StronglyConnected.dagLevels(
+          dag.select(col("src_scc").as("src"), col("dst_scc").as("dst")))
+        .orderBy("id")
+    }),
     // 3-core of the nation graph (iterative degree peeling to fixpoint)
     "kcore3" -> ((s, dir) =>
       graft.operators.Traversal.kCoreVertices(
@@ -1519,6 +1531,24 @@ object SparkEntry {
          |SELECT DISTINCT ls.label AS src_scc, ld.label AS dst_scc
          |FROM e JOIN scc ls ON e.src = ls.id JOIN scc ld ON e.dst = ld.id
          |WHERE ls.label <> ld.label ORDER BY src_scc, dst_scc""".stripMargin,
+    // longest-path levels over the condensation: every walk prefix ends
+    // somewhere, so max(len) per node over the (node, 0) ∪ step closure
+    // is the longest path from any source (the DAG is finite/acyclic —
+    // certified by the engine's convergence guard — so the recursion
+    // terminates)
+    "condensation_levels" ->
+      s"""${sccLabelsCte(coactivityDirectedEdgesSql)},
+         |cond AS MATERIALIZED (
+         |  SELECT DISTINCT ls.label AS s, ld.label AS d
+         |  FROM e JOIN scc ls ON e.src = ls.id JOIN scc ld ON e.dst = ld.id
+         |  WHERE ls.label <> ld.label),
+         |nodes AS (SELECT s AS id FROM cond UNION SELECT d AS id FROM cond),
+         |walk AS (
+         |  SELECT id, 0 AS len FROM nodes
+         |  UNION
+         |  SELECT c.d AS id, w.len + 1 AS len FROM walk w JOIN cond c ON w.id = c.s)
+         |SELECT id, CAST(max(len) AS BIGINT) AS level
+         |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

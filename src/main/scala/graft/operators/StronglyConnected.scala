@@ -200,4 +200,53 @@ object StronglyConnected {
       .select($"src_scc", $"dst_scc")
       .distinct()
   }
+
+  /** Longest-path topological levels of a DAG (e.g. the
+    * [[condensation]]): level(v) = 0 for sources, else
+    * 1 + max(level(u) : u → v) — the schedule depth / critical-path
+    * stage of each node, and the canonical topological ordering key
+    * (every edge goes strictly level-upward).
+    *
+    * Iterative max-propagation: one key-partitioned join + max agg per
+    * round; levels only increase, so an unchanged Σlevel observed in the
+    * round's own materialization job ⟺ fixpoint. Converges in
+    * depth(DAG) rounds; `maxRounds` doubles as a cycle guard (a cycle
+    * would increase levels forever), so the require below also certifies
+    * acyclicity of the input. */
+  def dagLevels(dag: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = dag.sparkSession
+    import spark.implicits._
+    scopedBlocks(spark) {
+      val p = spark.sessionState.conf.numShufflePartitions
+      val edges = barrier(
+        dag.select($"src".cast("long"), $"dst".cast("long"))
+          .filter($"src" =!= $"dst").distinct()
+          .repartition(p, $"src"))
+      val sumMetric = sum($"level").as("lsum")
+      var state = barrier(
+        edges.select($"src".as("id")).union(edges.select($"dst".as("id")))
+          .distinct().select($"id", lit(0L).as("level")))
+      var prevSum = 0L
+      var changed = true
+      var round = 0
+      while (changed && round < maxRounds) {
+        round += 1
+        val pushed = edges
+          .join(state.select($"id".as("src"), $"level"), Seq("src"))
+          .groupBy($"dst".as("id")).agg((max($"level") + 1L).as("nl"))
+        val (next, obs) = barrierObserved(
+          state.join(pushed.select($"id", $"nl"), Seq("id"), "left")
+            .select($"id", greatest($"level", coalesce($"nl", lit(0L))).as("level")),
+          sumMetric)
+        val s2 = Option(obs("lsum")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        release(state)
+        state = next
+        changed = s2 != prevSum
+        prevSum = s2
+      }
+      require(!changed,
+        s"dagLevels did not converge in $maxRounds rounds — cycle in input?")
+      state
+    }
+  }
 }

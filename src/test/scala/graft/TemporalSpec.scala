@@ -125,6 +125,25 @@ class TemporalSpec extends SparkSpec {
     cond shouldBe Set((2L, 12L), (12L, 20L), (20L, 21L))
   }
 
+  test("dagLevels: diamond + long-path closed form; cycle input refuses to converge") {
+    import graft.operators.StronglyConnected.dagLevels
+    // diamond with a long lower path: 0→1→3, 0→2→4→3, 3→5
+    // level(3) must take the LONGER path (via 2,4): 0,1,1,3,2,4
+    val dag = Seq((0L, 1L), (1L, 3L), (0L, 2L), (2L, 4L), (4L, 3L), (3L, 5L))
+      .toDF("src", "dst")
+    val got = dagLevels(dag).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 4L)
+    // every edge goes strictly level-upward (the topological-order law)
+    Seq((0L, 1L), (1L, 3L), (0L, 2L), (2L, 4L), (4L, 3L), (3L, 5L)).foreach {
+      case (s, d) => got(d) should be > got(s)
+    }
+    // a cycle can never converge — the guard must throw, not loop forever
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    an[IllegalArgumentException] should be thrownBy
+      dagLevels(cyc, maxRounds = 8)
+  }
+
   test("metamorphic: SCC of a symmetrized digraph == undirected CC labels") {
     import graft.operators.ConnectedComponents
     // deterministic pseudo-random digraph: 60 vertices, dst = (7i+3) mod 40
