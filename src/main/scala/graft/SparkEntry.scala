@@ -607,6 +607,16 @@ object SparkEntry {
       graft.functions.Similarity.kMeans(emb, k = kmeansK, dim = dim,
         iters = kmeansIters)
     }),
+    // product-quantization codes: m=4 subspaces × k=4 centroids over the
+    // 64-dim corpus — the compressed per-vector representation an IVF-PQ
+    // index stores; INTEGER codes, same determinism contract as kmeans
+    "pq_codes" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.functions.Similarity.pqCodes(emb, m = pqM, k = kmeansK,
+          dim = dim, iters = kmeansIters)
+        .orderBy("vec_id")
+    }),
     // LSH-bucketed ANN (scale path; recall tested in PipelineSpec)
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -686,6 +696,8 @@ object SparkEntry {
       .collect().toSeq
   private val kmeansK = 4
   private val kmeansIters = 4
+  /** PQ subvector count over the 64-dim corpus (16 dims/subspace). */
+  private val pqM = 4
   /** ppr restart set = vertices with id ≤ this (same predicate in the
     * Spark query and the oracle SQL, so S∩V agrees by construction). */
   private val pprSourceMax = 10L
@@ -918,7 +930,8 @@ object SparkEntry {
     * relative); the gated assignments only depend on argmin, which is
     * robust at real inter-centroid distances. MATERIALIZED like the
     * other unrolled oracles (each step is referenced multiple times). */
-  private def kMeansOracleSql(k: Int, iters: Int): String = {
+  private def kMeansOracleSql(k: Int, iters: Int,
+                              embExpr: String = "embedding"): String = {
     def assignSql(cent: String, out: String) =
       s"""$out AS MATERIALIZED (
          |  SELECT vec_id, e, cluster FROM (
@@ -938,7 +951,7 @@ object SparkEntry {
          |    GROUP BY cluster) n USING (cluster))""".stripMargin
     }.mkString(",\n")
     s"""WITH emb AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  SELECT vec_id, list_transform($embExpr, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
        |dims AS MATERIALIZED (
        |  SELECT unnest(range(1, (SELECT len(e) + 1 FROM emb LIMIT 1))) AS i),
@@ -1574,6 +1587,19 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "kmeans_assign" -> kMeansOracleSql(kmeansK, kmeansIters),
+    // each subspace is the FULL kmeans oracle over a list slice (1-based
+    // inclusive in DuckDB); the 64-dim harness corpus is pinned here
+    "pq_codes" -> {
+      val sub = 64 / pqM
+      val parts = (0 until pqM).map { j =>
+        s"""(${kMeansOracleSql(kmeansK, kmeansIters,
+              s"embedding[${j * sub + 1}:${(j + 1) * sub}]")}) p$j"""
+      }
+      val joins = parts.head +
+        (1 until pqM).map(j => s"\nJOIN ${parts(j)} USING (vec_id)").mkString
+      val cols = (0 until pqM).map(j => s"p$j.cluster AS code_$j").mkString(", ")
+      s"SELECT vec_id, $cols\nFROM $joins\nORDER BY vec_id"
+    },
     // exact all-pairs ground truth for the full-corpus kNN product —
     // same list-lambda cosine arithmetic as ann_topk, no query filter
     "knn_all" ->

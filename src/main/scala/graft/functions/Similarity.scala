@@ -308,6 +308,33 @@ object Similarity {
     out
   }
 
+  /** Product-quantization codes (Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): split each
+    * embedding into `m` contiguous subvectors and run the deterministic
+    * [[kMeans]] independently in each subspace; a vector's code is the
+    * m-tuple of its subspace cluster ids (columns `code_0..code_{m-1}`)
+    * — kᵐ implicit cells from only m·k stored centroids, the compressed
+    * representation IVF-PQ indexes store per vector (m bytes at k ≤
+    * 256) instead of 4·dim. Fully deterministic, so the INTEGER codes
+    * are oracle-gateable like `kmeans_assign`.
+    *
+    * Scale: the m subspace clusterings are independent single passes
+    * over a dim/m-wide projection (same broadcast-centroid iteration as
+    * [[kMeans]] — no corpus shuffle); the final code table is m
+    * id-keyed joins of (id, small-int) pairs. */
+  def pqCodes(corpus: DataFrame, m: Int, k: Int, dim: Int,
+              iters: Int = 4): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val sub = dim / m
+    (0 until m).map { j =>
+        kMeans(corpus.select(col("vec_id"),
+            slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+          k, sub, iters)
+          .withColumnRenamed("cluster", s"code_$j")
+      }
+      .reduce((a, b) => a.join(b, "vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via LSH buckets — the embedding leg of the dedup suite.
     * Keeps the long-band 16/8 defaults: at near-dup thresholds

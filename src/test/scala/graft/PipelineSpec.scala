@@ -390,6 +390,24 @@ class PipelineSpec extends SparkSpec {
       media.filter($"kind" === "video").count()
   }
 
+  test("pqCodes: valid code range, deterministic, near-identical vectors share codes") {
+    val got = Similarity.pqCodes(embeddings, m = 2, k = 3, dim = 8, iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.size shouldBe embeddings.count()
+    got.values.foreach { case (c0, c1) =>
+      c0 should (be >= 0L and be < 3L)
+      c1 should (be >= 0L and be < 3L)
+    }
+    // vec 1 = vec 0 + 0.01 per dim → same cell in every subspace
+    got(1L) shouldBe got(0L)
+    // deterministic under re-partitioning
+    val again = Similarity.pqCodes(embeddings.repartition(5), m = 2, k = 3,
+        dim = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    again shouldBe got
+  }
+
   test("corpus split: deterministic, content-keyed, covers all three splits") {
     val many = spark.range(0, 400)
       .selectExpr("id AS doc_id",
