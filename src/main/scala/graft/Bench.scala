@@ -118,12 +118,14 @@ object Bench {
       "user_decay", "props_hist", "cc_coactivity", "scc_coactivity",
       "scc_condensation", "cc_incremental",
       "edges_weighted", "pagerank_weighted", "lpa_weighted", "strength",
-      "kcore3", "ktruss4", "degrees", "degrees_prefix_sum", "edges_supplier",
+      "kcore3", "ktruss4", "coreness", "community_conductance",
+      "condensation_levels", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "text_repetition",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
-      "kmeans_assign", "text_stats",
+      "kmeans_assign", "pq_codes", "text_stats",
+      "corpus_split", "split_summary", "decontaminate", "split_leakage",
       "text_lang", "text_quality", "text_jaccard_topk", "tfidf_topk",
       "doc_xent", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
