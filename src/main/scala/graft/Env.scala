@@ -36,7 +36,34 @@ object Env {
             throw new IllegalArgumentException(
               s"env var $name must be an integer or '*', got '$v'")
           }
+        // `local[0]` fails deep inside Spark with an unrelated-looking
+        // error and shuffle.partitions=0 is nonsense — fail at the knob
+        if (n < 1) throw new IllegalArgumentException(
+          s"env var $name must be >= 1 or '*', got '$v'")
         (n.toString, n)
       case None       => (default.toString, default)
     }
+
+  /** Append one timestamped JSON line to the frozen bench history
+    * (`BENCH/history.jsonl` unless SPARK_GRAFT_BENCH_HISTORY): the
+    * mutable `last_*.json` artifacts are overwritten by every run (three
+    * rounds of doc-vs-artifact drift), so every bench/scaling run ALSO
+    * appends an immutable line here and docs cite the frozen line.
+    * `json` must be a one-line `{...}` object; best-effort, never
+    * silent. */
+  def appendHistory(json: String): Unit = {
+    val histFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH/history.jsonl")
+    try {
+      val hp = java.nio.file.Paths.get(histFile)
+      if (hp.getParent != null) java.nio.file.Files.createDirectories(hp.getParent)
+      val line = s"""{"ts":${System.currentTimeMillis()},""" + json.drop(1) + "\n"
+      java.nio.file.Files.write(hp,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append $histFile: $e")
+    }
+  }
 }

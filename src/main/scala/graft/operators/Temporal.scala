@@ -124,10 +124,14 @@ object Temporal {
     }
     val stageNames = stages.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("stage", "stage_name")
+    // right join onto the stage list: a stage no user reached still
+    // emits its row with users = 0 ("one row per stage", like the
+    // count-over-empty-set aggregate in the SQL formulation)
     rows
       .groupBy(col("stage")).agg(count(lit(1)).as("users"))
-      .join(broadcast(stageNames), "stage")
-      .select(col("stage"), col("stage_name"), col("users"))
+      .join(broadcast(stageNames), Seq("stage"), "right")
+      .select(col("stage"), col("stage_name"),
+        coalesce(col("users"), lit(0L)).as("users"))
   }
 
   /** Hour × event-type rollup: (hour_us, event_type, n, users,

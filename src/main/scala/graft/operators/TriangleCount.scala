@@ -245,12 +245,20 @@ object TriangleCount {
     val spark = edges.sparkSession
     import spark.implicits._
     val bidir = GraphIO.bidirectional(GraphIO.canonical(edges)).toDF()
+    // the cap must constrain ONLY the middle vertex (x.dst == y.src):
+    // `in` keeps edges whose dst is cap-eligible (x leg: v → middle);
+    // the y leg (middle → candidate) is `in` REVERSED — bidir is
+    // symmetric, so reversing the dst-capped rows yields exactly the
+    // src-capped rows — so high-degree CANDIDATES (and sources) stay
+    // eligible; only middles above the ceiling are dropped.
     val in = if (maxMiddleDeg <= 0) bidir else {
       val deg = bidir.groupBy($"src".as("id"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("dg"))
       bidir.join(deg.filter($"dg" <= maxMiddleDeg).select($"id".as("dst")), Seq("dst"))
     }
-    val cand = in.as("x").join(in.as("y"),
+    val out = if (maxMiddleDeg <= 0) bidir
+      else in.select($"dst".as("src"), $"src".as("dst"))
+    val cand = in.as("x").join(out.as("y"),
         $"x.dst" === $"y.src" && $"x.src" =!= $"y.dst")
       .groupBy($"x.src".as("id"), $"y.dst".as("cand"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("common_neighbors"))

@@ -134,19 +134,7 @@ object ScalingBench {
     } catch { case e: Throwable => // best-effort, but never silent
       System.err.println(s"[scaling] could not write $outFile: $e")
     }
-    // Frozen per-run history (same contract as Bench): last_scaling*.json
-    // is overwritten by every run, so each run ALSO appends an immutable
-    // timestamped line — docs cite the frozen line, not the mutable file.
-    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH/history.jsonl")
-    try {
-      val hp = Paths.get(histFile)
-      if (hp.getParent != null) Files.createDirectories(hp.getParent)
-      val line = s"""{"ts":${System.currentTimeMillis()},""" + json.drop(1) + "\n"
-      Files.write(hp, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } catch { case e: Throwable =>
-      System.err.println(s"[scaling] could not append $histFile: $e")
-    }
+    Env.appendHistory(json)
     println(json)
   }
 }

@@ -697,6 +697,20 @@ class LpaTriangleSpec extends SparkSpec {
         spark.createDataset(bowtie.map(e => graft.graph.Edge(e._1, e._2))),
         k = 3, maxMiddleDeg = 3)
       .collect() shouldBe empty
+    // the cap constrains ONLY the middle: a high-degree CANDIDATE
+    // reached through a low-degree middle must survive. Star center 9
+    // (degree 5) is at distance 2 from vertex 0 through middle 8
+    // (degree 2): with the cap at 3, the (0 → 8 → 9) rec stays, and so
+    // does the reverse (9 → 8 → 0) whose SOURCE out-degree exceeds the cap
+    val star = Seq((9L, 5L), (9L, 6L), (9L, 7L), (9L, 8L), (9L, 4L), (8L, 0L))
+    val capped = TriangleCount.fofRecommendations(
+        spark.createDataset(star.map(e => graft.graph.Edge(e._1, e._2))),
+        k = 5, maxMiddleDeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    capped should contain((0L, 9L))
+    capped should contain((9L, 0L))
+    // while recs THROUGH the degree-5 hub 9 (e.g. 5 → 9 → 6) are dropped
+    capped.exists { case (id, cand) => id == 5L && cand == 6L } shouldBe false
   }
 
   test("assortativity: star is perfectly disassortative (-1), chain negative, regular → 0") {

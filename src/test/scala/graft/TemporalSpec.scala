@@ -61,6 +61,13 @@ class TemporalSpec extends SparkSpec {
     val f = Temporal.funnel(e, Seq("view", "click", "purchase")).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     f shouldBe Map(0L -> 3L, 1L -> 2L, 2L -> 1L)
+    // one row per stage even when nobody reaches it: views only →
+    // click/purchase rows present with users = 0 (the oracle's
+    // count-over-empty-set aggregate)
+    val viewsOnly = ev((0L, 0L, 1L, "view", 0.0), (1L, 3L, 2L, "view", 0.0))
+    val f0 = Temporal.funnel(viewsOnly, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    f0 shouldBe Set((0L, "view", 2L), (1L, "click", 0L), (2L, "purchase", 0L))
   }
 
   test("hourlyRollup and propsHistogram: exact counts") {
