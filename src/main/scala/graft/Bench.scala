@@ -109,6 +109,7 @@ object Bench {
     val qreps = Env.int("SPARK_GRAFT_BENCH_QREPS", 2)
     val queryNames = if (!runQueries) Seq.empty[String] else Seq(
       "cc_supplier", "cc_nation", "cc_text_fixture", "pagerank", "ppr", "lpa",
+      "lpa_seeded",
       "triangles", "bfs_hops", "clustering_coeff", "common_neighbors",
       "adamic_adar", "assortativity", "neighbor_jaccard", "fof_recs",
       "modularity", "harmonic_centrality", "closeness_centrality",

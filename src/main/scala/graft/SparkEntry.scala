@@ -359,6 +359,19 @@ object SparkEntry {
         EdgeDerivation.supplierCooccurrenceByNation(s, dir),
         cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters))
         .labels.orderBy("id")),
+    // SEEDED label propagation: the 8 lowest ids carry a binary class
+    // (id % 2); everyone else infers theirs by synchronous majority vote
+    // among labeled neighbors — the semi-supervised label-inference
+    // primitive (quality/spam class propagation through a link graph)
+    "lpa_seeded" -> ((s, dir) => {
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val seeds = GraphIO.vertices(GraphIO.canonical(edges)).toDF("id")
+        .orderBy("id").limit(centralitySeedK)
+        .select(col("id"), (col("id") % 2).as("label"))
+      graft.operators.LabelPropagation.runSeeded(edges, seeds,
+          cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters))
+        .labels.orderBy("id")
+    }),
     // reference text-format ingestion (S1 header / S2 edge scan / P4
     // bounds) on the hard-signal path: CC over a committed fixture graph
     "cc_text_fixture" -> ((s, dir) => {
@@ -1102,6 +1115,38 @@ object SparkEntry {
        |FROM dc LEFT JOIN within w ON dc.c = w.c""".stripMargin
   }
 
+  /** Seeded-LPA oracle: unrolled synchronous majority-vote steps where
+    * only LABELED neighbors vote, seeds (k lowest ids, label = id % 2)
+    * never change, and unlabeled vertices without labeled neighbors
+    * stay NULL until reached; the output keeps labeled vertices only
+    * (no NULLs cross the gate). Every l$t is referenced twice (votes +
+    * carry) → MATERIALIZED. */
+  private def lpaSeededOracleSql(edgesSql: String, k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""b$t AS (SELECT id, nl FROM (
+         |  SELECT b.dst AS id, l.label AS nl,
+         |    row_number() OVER (PARTITION BY b.dst
+         |                       ORDER BY count(*) DESC, l.label ASC) AS rn
+         |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id AND l.label IS NOT NULL
+         |  GROUP BY b.dst, l.label) WHERE rn = 1),
+         |l$t AS MATERIALIZED (
+         |  SELECT l.id,
+         |    CASE WHEN l.seed THEN l.label ELSE coalesce(b.nl, l.label) END AS label,
+         |    l.seed
+         |  FROM l${t - 1} l LEFT JOIN b$t b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |v AS (SELECT DISTINCT src AS id FROM bidir),
+       |seeds AS (SELECT id, id % 2 AS label FROM v ORDER BY id LIMIT $k),
+       |l0 AS MATERIALIZED (
+       |  SELECT v.id, s.label, s.label IS NOT NULL AS seed
+       |  FROM v LEFT JOIN seeds s USING (id)),
+       |$steps
+       |SELECT id, CAST(label AS BIGINT) AS label FROM l$iters
+       |WHERE label IS NOT NULL ORDER BY id""".stripMargin
+  }
+
   /** Per-community conductance of the `iters`-step LPA partition: the
     * shared lpa CTE chain, then per community C (via one UNION ALL of
     * both edge endpoints, like the engine's explode): vol = row count,
@@ -1417,6 +1462,7 @@ object SparkEntry {
          |       LEFT JOIN cn ON e.src = cn.src AND e.dst = cn.dst
          |ORDER BY e.src, e.dst""".stripMargin,
     "lpa" -> lpaOracleSql(nationEdgesSql, lpaIters),
+    "lpa_seeded" -> lpaSeededOracleSql(nationEdgesSql, centralitySeedK, lpaIters),
     "modularity" -> modularityOracleSql(nationEdgesSql, lpaIters),
     "harmonic_centrality" ->
       s"""${multiSourceBfsCte(nationEdgesSql, centralitySeedK)}

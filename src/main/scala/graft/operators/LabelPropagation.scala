@@ -118,6 +118,65 @@ object LabelPropagation {
 
   /** The propagation loop proper, resumable at any iteration boundary:
     * state is (label frame, iteration). */
+  /** SEEDED (semi-supervised) label propagation: a small labeled seed
+    * set (id, label) and an unlabeled majority; per iteration every
+    * non-seed vertex adopts the most frequent label among its LABELED
+    * neighbors (ties → smallest label), seeds never change, and
+    * unlabeled vertices with no labeled neighbor stay unlabeled — the
+    * classic label-inference primitive for propagating quality/spam/
+    * topic classes through a link graph (Zhu & Ghahramani 2002 family,
+    * majority-vote variant: integer votes → deterministic, so the
+    * pinned-iteration run is oracle-exact). Returns only the vertices
+    * labeled after `cfg.maxIter` synchronous rounds (or convergence).
+    *
+    * Scale shape = [[run]]: the adjacency is hash-partitioned by src
+    * once and every iteration is one co-partitioned join + two hash
+    * aggs, convergence observed in the round's own job. */
+  def runSeeded(edges: Dataset[Edge], seeds: DataFrame,
+                cfg: Config = Config()): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = GraphIO.canonical(edges)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val bidir = GraphIO.bidirectional(canon).toDF()
+      .withColumn("weight", lit(1L))
+      .repartition(p, $"src").cutLineage()
+    var labels = GraphIO.vertices(canon).toDF("id")
+      .join(seeds.select($"id", $"label".as("seed_label")), Seq("id"), "left")
+      .select($"id", $"seed_label".as("label"),
+        $"seed_label".isNotNull.as("seed"))
+      .cutLineage()
+    var iter = 0
+    var changed = 1L
+    while (iter < cfg.maxIter && changed > 0) {
+      val nbrCounts = bidir.as("e")
+        .join(labels.filter($"label".isNotNull).as("l"), $"e.src" === $"l.id")
+        .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
+        .agg(sum($"e.weight").as("c"))
+      val best = nbrCounts
+        .groupBy($"id")
+        .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))
+        .select($"id", (-$"m.negl").as("newLabel"))
+      val newLabels = labels.as("l")
+        .join(best.as("b"), Seq("id"), "left")
+        .select($"id",
+          when($"seed", $"label").otherwise(coalesce($"newLabel", $"label"))
+            .as("label"),
+          $"seed",
+          (!$"seed" && $"newLabel".isNotNull &&
+            ($"label".isNull || $"newLabel" =!= $"label")).as("ch"))
+      val (next, m) = barrierObserved(newLabels,
+        coalesce(sum(when($"ch", 1L).otherwise(0L)), lit(0L)).as("changed"))
+      changed = m("changed").asInstanceOf[Long]
+      GraftLineage.release(labels)
+      labels = next.select($"id", $"label", $"seed")
+      iter += 1
+    }
+    GraftLineage.release(bidir)
+    Result(labels.filter($"label".isNotNull).select($"id", $"label"),
+      iter, changed == 0)
+  }
+
   private def loop(spark: org.apache.spark.sql.SparkSession,
                    bidir: DataFrame, labels0: DataFrame, startIter: Int,
                    cfg: Config, bidirStep0: Option[Int]): Result = {

@@ -240,6 +240,27 @@ class LpaTriangleSpec extends SparkSpec {
       (0L until 6L).toSet
   }
 
+  test("seeded LPA: fronts meet with smallest-label ties, seeds frozen, unreached stay out") {
+    import graft.operators.LabelPropagation
+    // path 0-1-2-3-4 seeded at both ends (0 → 7, 4 → 5) + an unseeded
+    // disjoint edge 10-11 that must never appear in the output
+    val edges = spark.createDataset(Seq(
+      Edge(0L, 1L), Edge(1L, 2L), Edge(2L, 3L), Edge(3L, 4L), Edge(10L, 11L)))
+    val seeds = Seq((0L, 7L), (4L, 5L)).toDF("id", "label")
+    val res = LabelPropagation.runSeeded(edges, seeds,
+      cfg = LabelPropagation.Config(maxIter = 10))
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fronts: 2 sees {7, 5} tied → smallest (5) wins; then 1's vote set
+    // becomes {7, 5} tied → 5 too. Seeds never flip. 10/11 unreached.
+    got shouldBe Map(0L -> 7L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L)
+    res.converged shouldBe true
+    // a single seed floods its whole component and only its component
+    val one = LabelPropagation.runSeeded(edges, Seq((4L, 9L)).toDF("id", "label"),
+      cfg = LabelPropagation.Config(maxIter = 10))
+    one.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 9L, 1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)
+  }
+
   test("coreness: closed forms, peel cascade, and agreement with k-core peeling") {
     import graft.operators.Traversal
     def cores(edges: Seq[Edge]): Map[Long, Long] =
