@@ -32,6 +32,53 @@ class PlanSpec extends SparkSpec {
     readSchemas should not include "source"
   }
 
+  test("corpus_split: pure projection — zero exchanges, column-pruned scan") {
+    // the operator itself (the contract query adds a presentation sort)
+    val plan = planOf(graft.functions.Corpus.splitAssign(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")))
+    plan should not include "Exchange"
+    plan should not include "BatchEvalPython"
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    readSchemas should not include "lang" // split hashes content only
+  }
+
+  test("decontaminate: benchmark n-gram set joins as a broadcast, never sort-merge") {
+    // contamination returns a barrier, so assert on the EXECUTED plans
+    // captured while it runs (same listener pattern as the dense-relabel
+    // guard — the listener bus is async, hence the deadline loop)
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.functions.Corpus.contamination(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id") % 25 === 0).count()
+      val deadline = System.currentTimeMillis() + 30000
+      // 2 barriers inside contamination + the count
+      while (plans.size() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      plans.size() should be >= 2
+      val joined = new java.util.ArrayList[String](plans).toArray.mkString("\n")
+      // the gram ⋈ benchmark join (key `g`) broadcasts the benchmark
+      // side and is never sort-merged — the corpus n-gram stream must
+      // not be shuffled-and-sorted against a tiny eval set. (The final
+      // per-doc LEFT join is id-keyed and corpus-sized on both sides;
+      // any join strategy is legitimate there.)
+      joined should include regex "BroadcastHashJoin \\[g#"
+      joined should not include regex ("SortMergeJoin \\[g#")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("text_stats: stays inside whole-stage codegen (no UDFs)") {
     // under AQE the pre-execution plan has no codegen subtrees yet —
     // inspect the statically-planned form
