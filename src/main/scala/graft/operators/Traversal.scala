@@ -195,8 +195,14 @@ object Traversal {
     import spark.implicits._
     scopedBlocks(spark) {
       val e = GraphIO.canonical(edges).toDF()
+      // hash-partition the adjacency by the JOIN key (dst) once — the
+      // per-iteration state join then reuses this partitioning (zero
+      // exchanges on the edge side; the barrier claims the partitioning,
+      // same rule as the PageRank/LPA iteration cores)
+      val p = spark.sessionState.conf.numShufflePartitions
       val bidir = barrier(
-        e.select($"src", $"dst").union(e.select($"dst".as("src"), $"src".as("dst"))))
+        e.select($"src", $"dst").union(e.select($"dst".as("src"), $"src".as("dst")))
+          .repartition(p, $"dst"))
       val sumMetric = sum($"c").as("csum")
       val (deg, obs0) = barrierObserved(
         bidir.groupBy($"src".as("id")).agg(count(lit(1)).as("c")), sumMetric)
