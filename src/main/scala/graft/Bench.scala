@@ -125,7 +125,7 @@ object Bench {
       "text_repetition",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
-      "kmeans_assign", "pq_codes", "text_stats",
+      "kmeans_assign", "pq_codes", "walk_pairs", "text_stats",
       "corpus_split", "split_summary", "decontaminate", "split_leakage",
       "text_lang", "text_quality", "text_jaccard_topk", "tfidf_topk",
       "doc_xent", "vocab_topk",

@@ -108,6 +108,13 @@ object SparkEntry {
         EdgeDerivation.supplierCooccurrenceByNation(s, dir),
         nWalks = walkN, steps = walkSteps)
         .orderBy("seed", "walk", "step")),
+    // skip-gram (center, context) pair counts from the walk corpus —
+    // the word2vec training table a DeepWalk pipeline materializes
+    "walk_pairs" -> ((s, dir) =>
+      graft.operators.Traversal.walkSkipGramPairs(
+        EdgeDerivation.supplierCooccurrenceByNation(s, dir),
+        nWalks = walkN, steps = walkSteps, window = walkWindow)
+        .orderBy("center", "context")),
     // eigenvector centrality (pinned power iterations, L∞ normalization)
     "eigencentrality" -> ((s, dir) =>
       graft.operators.Centrality.eigenvector(
@@ -700,6 +707,7 @@ object SparkEntry {
   private val centralitySeedK = 8
   private val walkN = 2
   private val walkSteps = 8
+  private val walkWindow = 2
 
   /** The k lowest vertex ids of an edge set — the deterministic seed set
     * for the sampled-centrality queries (bounded collect: k rows). */
@@ -1609,6 +1617,18 @@ object SparkEntry {
          |SELECT id, CAST(max(len) AS BIGINT) AS level
          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "random_walks" -> walksOracleSql(nationEdgesSql, walkN, walkSteps),
+    // skip-gram pairs over the SAME unrolled walk oracle, self-joined on
+    // (seed, walk) within the window; self-pairs dropped
+    "walk_pairs" -> {
+      val walksSub = walksOracleSql(nationEdgesSql, walkN, walkSteps)
+      s"""SELECT w1.vertex AS center, w2.vertex AS context,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM ($walksSub) w1 JOIN ($walksSub) w2
+         |  ON w1.seed = w2.seed AND w1.walk = w2.walk
+         | AND abs(w1.step - w2.step) BETWEEN 1 AND $walkWindow
+         | AND w1.vertex <> w2.vertex
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

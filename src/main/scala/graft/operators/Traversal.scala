@@ -173,6 +173,33 @@ object Traversal {
     }
   }
 
+  /** Skip-gram (center, context) pair counts from the deterministic walk
+    * corpus — the table a DeepWalk/node2vec pipeline actually feeds to
+    * word2vec training (Perozzi et al., KDD'14 §4.2): for every walk,
+    * all vertex pairs within `window` steps of each other (both
+    * directions), self-pairs dropped, aggregated to pair multiplicities.
+    *
+    * Scale: the walk table is materialized ONCE (inside
+    * [[deterministicWalks]]) and self-joined on its (seed, walk) key —
+    * each walk contributes ≤ 2·window·(steps+1) pairs, and the count
+    * agg is map-side combinable. */
+  def walkSkipGramPairs(edges: Dataset[Edge], nWalks: Int = 2,
+                        steps: Int = 8, window: Int = 2): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(window >= 1, "walkSkipGramPairs: window >= 1")
+    val walks = deterministicWalks(edges, nWalks, steps)
+    val a = walks.select($"seed", $"walk", $"step".as("si"), $"vertex".as("center"))
+    val b = walks.select($"seed", $"walk", $"step".as("sj"), $"vertex".as("context"))
+    val out = a.join(b, Seq("seed", "walk"))
+      .filter(abs($"si" - $"sj").between(1, window) && $"center" =!= $"context")
+      .groupBy($"center", $"context")
+      .agg(count(lit(1)).as("n"))
+    val res = barrier(out)
+    release(walks)
+    res
+  }
+
   /** Full core decomposition by h-index iteration (Lü, Zhou, Zhang,
     * Stanley, "The H-index of a network node", Nature Comm. 2016):
     * c⁰(v) = deg(v); cᵗ⁺¹(v) = H({cᵗ(u) : u ∈ N(v)}), where H is the

@@ -695,6 +695,31 @@ class LpaTriangleSpec extends SparkSpec {
     assert((0L to 3L).exists(s => byWalk((s, 0L)) != byWalk((s, 1L))))
   }
 
+  test("walk skip-gram pairs: exact match with pairs recomputed from the walk corpus; symmetric") {
+    import graft.operators.Traversal
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).map(e => Edge(e._1, e._2))
+    val ds = spark.createDataset(edges)
+    val got = Traversal.walkSkipGramPairs(ds, nWalks = 2, steps = 5, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth from the walk corpus itself
+    val walks = Traversal.deterministicWalks(ds, nWalks = 2, steps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(w => (w._1, w._2))
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    walks.values.foreach { w =>
+      val byStep = w.map(x => x._3 -> x._4).toMap
+      for (i <- byStep.keys; j <- byStep.keys
+           if i != j && math.abs(i - j) <= 2 && byStep(i) != byStep(j))
+        expect((byStep(i), byStep(j))) += 1L
+    }
+    got shouldBe expect.toMap
+    // both orderings are enumerated → the pair table is symmetric
+    got.foreach { case ((a, b), n) => got((b, a)) shouldBe n }
+  }
+
   test("fof recommendations: path graph distance-2 pairs; cliques produce none") {
     import graft.operators.TriangleCount
     def recs(edges: Seq[(Long, Long)], k: Int = 3): Seq[(Long, Long, Long, Long)] =
