@@ -271,6 +271,48 @@ class PlanSpec extends SparkSpec {
     finally GraftLineage.legacyRewrap = false
   }
 
+  test("AQE ON: coreness-shaped iteration never re-shuffles the barrier'd adjacency") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftLineage
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum, max => fmax, least}
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true" // suite default
+    // one coreness iteration: adjacency (partitioned by the join key dst)
+    // ⋈ state → (v, value) histogram → windowed h-index — with the
+    // partitioning recovery, the ONLY shuffles are the state side + the
+    // two re-keyings (hist agg, window), never the adjacency itself
+    def iterationShuffles(): Int = {
+      val bidir = GraftLineage.barrier(
+        spark.range(0, 4000)
+          .select(($"id" % 200).as("src"), ($"id" % 193).as("dst"))
+          .repartition(4, $"dst"))
+      val state = GraftLineage.barrier(
+        spark.range(0, 193).select($"id", lit(3L).as("c")).repartition(4, $"id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"v").orderBy($"c".desc)
+      val iter = bidir
+        .join(state.select($"id".as("dst"), $"c"), Seq("dst"))
+        .groupBy($"src".as("v"), $"c").agg(fcount(lit(1)).as("n"))
+        .withColumn("cum", fsum($"n").over(w))
+        .groupBy($"v".as("id")).agg(fmax(least($"c", $"cum")).as("c"))
+      iter.count() shouldBe 200L
+      val n = shuffleNodeCount(iter)
+      GraftLineage.release(bidir, blocking = true)
+      GraftLineage.release(state, blocking = true)
+      n
+    }
+    GraftLineage.legacyRewrap shouldBe false
+    val withRecovery = iterationShuffles()
+    // with recovery BOTH barrier'd inputs keep their partitioning (the
+    // state rename rewrites through the projection), so only the two
+    // re-keyings (histogram agg, window) can shuffle
+    withRecovery should be <= 2
+    GraftLineage.legacyRewrap = true
+    val without = try iterationShuffles() finally GraftLineage.legacyRewrap = false
+    // legacy rewrap loses both inputs' partitioning → extra shuffles of
+    // the adjacency and state sides every iteration
+    without should be > withRecovery
+  }
+
   test("triangle wedge enumeration is an equi-join on the apex (no cartesian/BNLJ)") {
     // shared backbone of triangles / clustering / common-neighbors /
     // adamic-adar: the lo==lo wedge join must plan as an equi-join with
