@@ -275,7 +275,9 @@ object Traversal {
     * rows; superseded state released eagerly. Rounds ≤ the longest
     * hop-count of any optimal path (≪ V in real link graphs). */
   def weightedDistances(wedges: DataFrame, seeds: Seq[Long],
-                        maxIter: Int = 64): DataFrame = {
+                        maxIter: Int = 64,
+                        checkpointDir: Option[String] = None,
+                        checkpointEvery: Int = 5): DataFrame = {
     val spark = wedges.sparkSession
     import spark.implicits._
     if (seeds.isEmpty) // empty seed rule ⇒ empty table
@@ -291,15 +293,57 @@ object Traversal {
       .union(dir.select($"dst".as("src"), $"src".as("dst"), $"weight"))
       .repartition(p, $"src")
       .cutLineage()
-    var state = barrier(
+    val state0 = barrier(
       spark.createDataset(seeds.distinct).toDF("source")
         .select($"source", $"source".as("id"), lit(0L).as("dist"))
         .repartition(p, $"source", $"id"))
-    var (rows, total) = (-1L, -1L)
+    ssspLoop(spark, adj, state0, rows0 = -1L, total0 = -1L, startIter = 0,
+      maxIter, checkpointDir.map(new graft.plans.CheckpointManager(spark, _)),
+      checkpointEvery, adjStep0 = None)
+  }
+
+  /** Continue a [[weightedDistances]] run from durable state written via
+    * its `checkpointDir` (same contract as the CC/PageRank/LPA resumes:
+    * `maxIter` counts TOTAL rounds across both runs). The state is all
+    * longs, so the resumed trajectory is EXACTLY the uninterrupted one. */
+  def resumeWeightedDistances(spark: org.apache.spark.sql.SparkSession,
+                              checkpointDir: String,
+                              maxIter: Int = 64,
+                              checkpointEvery: Int = 5): DataFrame = {
+    import spark.implicits._
+    val ck = new graft.plans.CheckpointManager(spark, checkpointDir)
+    val step = ck.latestStep().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val meta = ck.meta(step)
+    val algo = meta.getOrElse("algo", "")
+    if (algo != "sssp")
+      throw new IllegalStateException(
+        s"not an sssp checkpoint under $checkpointDir (algo='$algo')")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adjStep = meta("adjStep").toInt
+    val adj = ck.load(adjStep, "adj").repartition(p, $"src").cutLineage()
+    val state = barrier(
+      ck.load(step, "state").repartition(p, $"source", $"id"))
+    ssspLoop(spark, adj, state, meta("rows").toLong, meta("total").toLong,
+      meta("iter").toInt, maxIter, Some(ck), checkpointEvery, Some(adjStep))
+  }
+
+  private def ssspLoop(spark: org.apache.spark.sql.SparkSession,
+                       adj: DataFrame, state0: DataFrame,
+                       rows0: Long, total0: Long, startIter: Int,
+                       maxIter: Int,
+                       ck: Option[graft.plans.CheckpointManager],
+                       checkpointEvery: Int,
+                       adjStep0: Option[Int]): DataFrame = {
+    import spark.implicits._
+    var state = state0
+    var (rows, total) = (rows0, total0)
+    var adjStep = adjStep0
     var converged = false
-    var it = 0
+    var it = startIter
     while (!converged && it < maxIter) {
       it += 1
+      val t0 = System.nanoTime()
       val (next, m) = barrierObserved(
         state
           .union(state.join(adj, $"id" === $"src")
@@ -313,6 +357,20 @@ object Traversal {
       state = next
       converged = n == rows && s == total
       rows = n; total = s
+      ck.foreach { c =>
+        c.appendMetrics(Seq(graft.graph.SuperstepMetrics("sssp", "sssp", it,
+          rows, 0L, -1L, 0, (System.nanoTime() - t0) / 1000000)))
+        if (it % checkpointEvery == 0 && !converged && it < maxIter) {
+          // static weighted adjacency written once, at the first snapshot
+          val tables = Map("state" -> state) ++
+            (if (adjStep.isEmpty) Map("adj" -> adj) else Map.empty)
+          if (adjStep.isEmpty) adjStep = Some(it)
+          c.save(it, tables, Map(
+            "algo" -> "sssp", "iter" -> it.toString,
+            "rows" -> rows.toString, "total" -> total.toString,
+            "adjStep" -> adjStep.get.toString))
+        }
+      }
     }
     if (!converged) { // release before throwing — a failed query must
       release(state) //  not pin checkpoint blocks for the rest of the JVM

@@ -172,4 +172,27 @@ class ResumeSpec extends SparkSpec {
     resumed.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
       full
   }
+
+  test("weighted SSSP resumes from a mid-run snapshot to EXACTLY equal distances") {
+    import graft.operators.Traversal
+    val dir = Files.createTempDirectory("graft-ckpt-sssp").toString
+    // weighted chain 0-1-...-11: from seed 0 the frontier advances one
+    // hop per round → 12 rounds to fixpoint + 1 to observe stability
+    val wedges = spark.createDataset((0L until 11L).map(i => (i, i + 1, i + 1)))
+      .toDF("src", "dst", "weight")
+    val full = Traversal.weightedDistances(wedges, Seq(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    full((0L, 11L)) shouldBe (1L to 11L).sum // cumulative chain weights
+    // "killed" run: snapshots at rounds 4 and 8, then the maxIter guard
+    // fires at 9 — the durable state must survive the failure
+    an[IllegalStateException] should be thrownBy
+      Traversal.weightedDistances(wedges, Seq(0L), maxIter = 9,
+        checkpointDir = Some(dir), checkpointEvery = 4)
+    new CheckpointManager(spark, dir).latestStep().get shouldBe 8
+    // all-long state → the resumed trajectory is exactly the
+    // uninterrupted one
+    val resumed = Traversal.resumeWeightedDistances(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    resumed shouldBe full
+  }
 }
