@@ -141,8 +141,13 @@ object LabelPropagation {
     val bidir = GraphIO.bidirectional(canon).toDF()
       .withColumn("weight", lit(1L))
       .repartition(p, $"src").cutLineage()
+    // duplicate seed rows would fan the vertex state out through the
+    // left join — collapse to one deterministic label per id (smallest,
+    // matching the tie rule); seeds not in the vertex set are ignored
+    // (the graph defines the propagation domain)
+    val seeds1 = seeds.groupBy($"id").agg(min($"label").as("seed_label"))
     var labels = GraphIO.vertices(canon).toDF("id")
-      .join(seeds.select($"id", $"label".as("seed_label")), Seq("id"), "left")
+      .join(seeds1, Seq("id"), "left")
       .select($"id", $"seed_label".as("label"),
         $"seed_label".isNotNull.as("seed"))
       .cutLineage()
