@@ -371,10 +371,11 @@ object SparkEntry {
     // among labeled neighbors — the semi-supervised label-inference
     // primitive (quality/spam class propagation through a link graph)
     "lpa_seeded" -> ((s, dir) => {
+      import s.implicits._
       val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
-      val seeds = GraphIO.vertices(GraphIO.canonical(edges)).toDF("id")
-        .orderBy("id").limit(centralitySeedK)
-        .select(col("id"), (col("id") % 2).as("label"))
+      // same seed rule (and helper) as the sampled-centrality family
+      val seeds = lowestVertexIds(edges, centralitySeedK)
+        .map(id => (id, id % 2)).toDF("id", "label")
       graft.operators.LabelPropagation.runSeeded(edges, seeds,
           cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters))
         .labels.orderBy("id")
@@ -1621,9 +1622,13 @@ object SparkEntry {
     // (seed, walk) within the window; self-pairs dropped
     "walk_pairs" -> {
       val walksSub = walksOracleSql(nationEdgesSql, walkN, walkSteps)
-      s"""SELECT w1.vertex AS center, w2.vertex AS context,
+      // ONE materialized copy of the unrolled walk chain, self-joined —
+      // inlining the subquery twice would evaluate the whole steps-deep
+      // recursion twice per gate run
+      s"""WITH w AS MATERIALIZED ($walksSub)
+         |SELECT w1.vertex AS center, w2.vertex AS context,
          |  CAST(count(*) AS BIGINT) AS n
-         |FROM ($walksSub) w1 JOIN ($walksSub) w2
+         |FROM w w1 JOIN w w2
          |  ON w1.seed = w2.seed AND w1.walk = w2.walk
          | AND abs(w1.step - w2.step) BETWEEN 1 AND $walkWindow
          | AND w1.vertex <> w2.vertex

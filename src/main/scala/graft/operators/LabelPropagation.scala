@@ -139,25 +139,58 @@ object LabelPropagation {
     val canon = GraphIO.canonical(edges)
     val p = spark.sessionState.conf.numShufflePartitions
     val bidir = GraphIO.bidirectional(canon).toDF()
-      .withColumn("weight", lit(1L))
       .repartition(p, $"src").cutLineage()
     // duplicate seed rows would fan the vertex state out through the
     // left join — collapse to one deterministic label per id (smallest,
     // matching the tie rule); seeds not in the vertex set are ignored
     // (the graph defines the propagation domain)
     val seeds1 = seeds.groupBy($"id").agg(min($"label").as("seed_label"))
-    var labels = GraphIO.vertices(canon).toDF("id")
+    val labels0 = GraphIO.vertices(canon).toDF("id")
       .join(seeds1, Seq("id"), "left")
       .select($"id", $"seed_label".as("label"),
         $"seed_label".isNotNull.as("seed"))
       .cutLineage()
-    var iter = 0
+    seededLoop(spark, bidir, labels0, startIter = 0, cfg, bidirStep0 = None)
+  }
+
+  /** Continue a [[runSeeded]] run from durable state written by
+    * [[Config.checkpointDir]] (same contract as the other resumes:
+    * `cfg.maxIter` counts TOTAL iterations). All-integer state → the
+    * resumed trajectory is EXACTLY the uninterrupted one. */
+  def resumeSeeded(spark: org.apache.spark.sql.SparkSession,
+                   checkpointDir: String, cfg: Config = Config()): Result = {
+    import spark.implicits._
+    val ck = new CheckpointManager(spark, checkpointDir)
+    val step = ck.latestStep().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $checkpointDir"))
+    val meta = ck.meta(step)
+    val algo = meta.getOrElse("algo", "")
+    if (algo != "lpa_seeded")
+      throw new IllegalStateException(
+        s"not an lpa_seeded checkpoint under $checkpointDir (algo='$algo')")
+    val p = spark.sessionState.conf.numShufflePartitions
+    val bidirStep = meta("bidirStep").toInt
+    val bidir = ck.load(bidirStep, "bidir").repartition(p, $"src").cutLineage()
+    val labels = GraftLineage.barrier(ck.load(step, "labels").repartition(p, $"id"))
+    seededLoop(spark, bidir, labels, meta("iter").toInt,
+      cfg.copy(checkpointDir = Some(checkpointDir)), Some(bidirStep))
+  }
+
+  private def seededLoop(spark: org.apache.spark.sql.SparkSession,
+                         bidir: DataFrame, labels0: DataFrame, startIter: Int,
+                         cfg: Config, bidirStep0: Option[Int]): Result = {
+    import spark.implicits._
+    val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
+    var bidirStep = bidirStep0
+    var labels = labels0
+    var iter = startIter
     var changed = 1L
     while (iter < cfg.maxIter && changed > 0) {
+      val t0 = System.nanoTime()
       val nbrCounts = bidir.as("e")
         .join(labels.filter($"label".isNotNull).as("l"), $"e.src" === $"l.id")
         .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
-        .agg(sum($"e.weight").as("c"))
+        .agg(count(lit(1)).as("c"))
       val best = nbrCounts
         .groupBy($"id")
         .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))
@@ -176,6 +209,21 @@ object LabelPropagation {
       GraftLineage.release(labels)
       labels = next.select($"id", $"label", $"seed")
       iter += 1
+      ck.foreach { c =>
+        c.appendMetrics(Seq(SuperstepMetrics(cfg.runId, "lpa_seeded", iter,
+          0L, 0L, changed, 0, (System.nanoTime() - t0) / 1000000)))
+        val willContinue = iter < cfg.maxIter && changed > 0
+        if (iter % cfg.checkpointEvery == 0 && willContinue) {
+          // full state (unlabeled rows + seed flags included); static
+          // adjacency written once, at the first snapshot
+          val tables = Map("labels" -> labels) ++
+            (if (bidirStep.isEmpty) Map("bidir" -> bidir) else Map.empty)
+          if (bidirStep.isEmpty) bidirStep = Some(iter)
+          c.save(iter, tables, Map(
+            "algo" -> "lpa_seeded", "runId" -> cfg.runId,
+            "iter" -> iter.toString, "bidirStep" -> bidirStep.get.toString))
+        }
+      }
     }
     GraftLineage.release(bidir)
     Result(labels.filter($"label".isNotNull).select($"id", $"label"),

@@ -277,7 +277,8 @@ object Traversal {
   def weightedDistances(wedges: DataFrame, seeds: Seq[Long],
                         maxIter: Int = 64,
                         checkpointDir: Option[String] = None,
-                        checkpointEvery: Int = 5): DataFrame = {
+                        checkpointEvery: Int = 5,
+                        runId: String = "sssp"): DataFrame = {
     val spark = wedges.sparkSession
     import spark.implicits._
     if (seeds.isEmpty) // empty seed rule ⇒ empty table
@@ -299,7 +300,7 @@ object Traversal {
         .repartition(p, $"source", $"id"))
     ssspLoop(spark, adj, state0, rows0 = -1L, total0 = -1L, startIter = 0,
       maxIter, checkpointDir.map(new graft.plans.CheckpointManager(spark, _)),
-      checkpointEvery, adjStep0 = None)
+      checkpointEvery, adjStep0 = None, runId)
   }
 
   /** Continue a [[weightedDistances]] run from durable state written via
@@ -309,7 +310,8 @@ object Traversal {
   def resumeWeightedDistances(spark: org.apache.spark.sql.SparkSession,
                               checkpointDir: String,
                               maxIter: Int = 64,
-                              checkpointEvery: Int = 5): DataFrame = {
+                              checkpointEvery: Int = 5,
+                              runId: String = "sssp-resume"): DataFrame = {
     import spark.implicits._
     val ck = new graft.plans.CheckpointManager(spark, checkpointDir)
     val step = ck.latestStep().getOrElse(
@@ -325,7 +327,8 @@ object Traversal {
     val state = barrier(
       ck.load(step, "state").repartition(p, $"source", $"id"))
     ssspLoop(spark, adj, state, meta("rows").toLong, meta("total").toLong,
-      meta("iter").toInt, maxIter, Some(ck), checkpointEvery, Some(adjStep))
+      meta("iter").toInt, maxIter, Some(ck), checkpointEvery, Some(adjStep),
+      runId)
   }
 
   private def ssspLoop(spark: org.apache.spark.sql.SparkSession,
@@ -334,7 +337,8 @@ object Traversal {
                        maxIter: Int,
                        ck: Option[graft.plans.CheckpointManager],
                        checkpointEvery: Int,
-                       adjStep0: Option[Int]): DataFrame = {
+                       adjStep0: Option[Int],
+                       runId: String): DataFrame = {
     import spark.implicits._
     var state = state0
     var (rows, total) = (rows0, total0)
@@ -358,7 +362,7 @@ object Traversal {
       converged = n == rows && s == total
       rows = n; total = s
       ck.foreach { c =>
-        c.appendMetrics(Seq(graft.graph.SuperstepMetrics("sssp", "sssp", it,
+        c.appendMetrics(Seq(graft.graph.SuperstepMetrics(runId, "sssp", it,
           rows, 0L, -1L, 0, (System.nanoTime() - t0) / 1000000)))
         if (it % checkpointEvery == 0 && !converged && it < maxIter) {
           // static weighted adjacency written once, at the first snapshot

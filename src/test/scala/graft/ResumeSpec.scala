@@ -173,6 +173,32 @@ class ResumeSpec extends SparkSpec {
       full
   }
 
+  test("seeded LPA resumes from a mid-run snapshot to EXACTLY equal labels") {
+    import graft.operators.LabelPropagation
+    val dir = Files.createTempDirectory("graft-ckpt-slpa").toString
+    // long path: the label front advances one hop per round, so the run
+    // is still mid-flood when the snapshot lands
+    val edges = spark.createDataset((0L until 12L).map(i => graft.graph.Edge(i, i + 1)))
+    val seeds = Seq((0L, 7L)).toDF("id", "label")
+    val fullRes = LabelPropagation.runSeeded(edges, seeds,
+      cfg = LabelPropagation.Config(maxIter = 30))
+    val full = fullRes.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.size shouldBe 13 // whole component flooded
+    // "killed" run: stop at 5 with snapshots every 2 (latest = 4)
+    val part = LabelPropagation.runSeeded(edges, seeds,
+      cfg = LabelPropagation.Config(maxIter = 5, checkpointEvery = 2,
+        checkpointDir = Some(dir), runId = "slpa1"))
+    part.converged shouldBe false
+    new CheckpointManager(spark, dir).latestStep().get shouldBe 4
+    val resumed = LabelPropagation.resumeSeeded(spark, dir,
+      LabelPropagation.Config(maxIter = 30, runId = "slpa1-resume"))
+    resumed.iterations shouldBe fullRes.iterations
+    resumed.converged shouldBe fullRes.converged
+    resumed.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      full
+  }
+
   test("weighted SSSP resumes from a mid-run snapshot to EXACTLY equal distances") {
     import graft.operators.Traversal
     val dir = Files.createTempDirectory("graft-ckpt-sssp").toString
