@@ -176,23 +176,43 @@ object Bench {
     val qPassesJson = qPasses.map { case (k, ps) =>
       jstr(k) + ":" + ps.map(s => f"$s%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"cc_edges_per_sec","value":${edgesPerSec.toLong},"unit":"edges/sec",""" +
-      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
-      s""""cc_input_edges":$inputEdges,"cc_edges_processed":$edgesProcessed,""" +
-      s""""cc_seconds":${f"$ccSec%.3f"},"cc_passes":$ccPassesJson,""" +
-      s""""query_passes":$qPassesJson,"cc_supersteps":${res.metrics.size},""" +
+    // Two artifacts (round-5 verdict "Missing #2"): the driver captures
+    // only the LAST ~2000 chars of stdout (rounds 4-5 shipped a 78-query
+    // per-pass line and got "parsed": null), so stdout gets a COMPACT
+    // line — headline + one representative query per operator family +
+    // errors + totals — while the full per-query/per-pass detail goes to
+    // BENCH/last_bench.json and the frozen history.
+    val headlineFields =
+      s""""metric":"cc_edges_per_sec","value":${edgesPerSec.toLong},"unit":"edges/sec",""" +
+      s""""sf":"$sfDir","cc_input_edges":$inputEdges,"cc_edges_processed":$edgesProcessed,""" +
+      s""""cc_seconds":${f"$ccSec%.3f"},"cc_supersteps":${res.metrics.size},""" +
       s""""cc_components":$components,"cc_strategy":"$strategyName",""" +
-      s""""cc_reps":$reps,"parallelism":$cores,"bench_scale":$scale}"""
+      s""""cc_reps":$reps,"parallelism":$cores,"bench_scale":$scale"""
+    val fullJson =
+      s"""{$headlineFields,"queries":$qs,"errors":$errJson,""" +
+      s""""cc_passes":$ccPassesJson,"query_passes":$qPassesJson}"""
+    val compactNames = Seq(
+      "cc_supplier", "cc_parts", "pagerank", "lpa", "triangles",
+      "betweenness", "sssp_weighted", "scc_coactivity", "coreness",
+      "dedup_near_pairs", "dedup_clusters", "knn_all", "kmeans_assign",
+      "decontaminate", "tfidf_topk")
+    val qsCompact = compactNames.flatMap(n => best.get(n).map(n -> _))
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val totalQuerySec = allTimes.map(_._2).sum
+    val compactJson =
+      s"""{$headlineFields,"queries":$qsCompact,"errors":$errJson,""" +
+      s""""query_count":${allTimes.size},""" +
+      s""""queries_total_sec":${f"$totalQuerySec%.1f"},"detail":${jstr(outFile)}}"""
     try {
       val p = Paths.get(outFile)
       if (p.getParent != null) Files.createDirectories(p.getParent)
-      Files.writeString(p, json + "\n")
+      Files.writeString(p, fullJson + "\n")
     } catch { case e: Throwable => // best-effort, but never silent
       System.err.println(s"[bench] could not write $outFile: $e")
     }
-    Env.appendHistory(json)
-    println(json)
+    Env.appendHistory(fullJson)
+    println(compactJson)
     spark.stop()
   }
 }

@@ -506,6 +506,15 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    // substring-overlap dedup (Lee et al. 2022): pairs sharing ≥ 20
+    // consecutive verbatim tokens + the distinct shared-20-gram count —
+    // the modality that catches a copied paragraph inside two otherwise-
+    // different documents (document-level Jaccard at 0.8 misses it)
+    "substring_dup_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.substringDupPairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          k = substringK)
+        .orderBy("id_a", "id_b")),
     // duplicate CLUSTERS: connected components over the near-dup pair
     // graph — the step a production dedup pipeline actually ends with
     // (pick one survivor per cluster, not per pair; pairs alone
@@ -619,6 +628,18 @@ object SparkEntry {
       graft.functions.Similarity.knnAll(emb, k = 3, dim = dim)
         .orderBy("vec_id", "rank")
     }),
+    // IVF-PQ search: probe nprobe=2 of nlist=4 coarse cells, ADC-scan
+    // their PQ codes (m=4 × k=4 codebooks), exact-rerank the top 32 —
+    // the composed ANN index product over the gated kmeans/pq pieces
+    "ivf_search" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.functions.Similarity.ivfSearch(emb,
+          emb.filter(col("vec_id") < 10), k = 5, dim = dim,
+          nlist = kmeansK, nprobe = 2, m = pqM, kSub = kmeansK,
+          rerank = ivfRerank, iters = kmeansIters)
+        .orderBy("query_id", "rank")
+    }),
     // k-means over the embedding corpus (k=4, 4 pinned Lloyd iterations,
     // deterministic init = k lowest vec_ids) — the semantic-clustering
     // primitive; gated on the INTEGER final assignments
@@ -718,6 +739,11 @@ object SparkEntry {
       .collect().toSeq
   private val kmeansK = 4
   private val kmeansIters = 4
+  /** substring-dup run length (tokens): 20 ≈ the Lee et al. 2022 range;
+    * the sf0.01 corpus yields 24 pairs (non-vacuous, selective). */
+  private val substringK = 20
+  /** ivf_search exact-rerank pool size (per query, before top-k). */
+  private val ivfRerank = 32
   /** PQ subvector count over the 64-dim corpus (16 dims/subspace). */
   private val pqM = 4
   /** ppr restart set = vertices with id ≤ this (same predicate in the
@@ -802,7 +828,7 @@ object SparkEntry {
     * corpus_filtered) compares against. One copy so the four oracles
     * cannot drift from each other. */
   private val shingleCteSql =
-    """t AS (
+    """t AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(CASE
       |      WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -813,18 +839,27 @@ object SparkEntry {
       |               ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
       |        FROM documents))""".stripMargin
 
-  /** Shared oracle fragment: exact all-pairs near-dup PAIRS at threshold
-    * 0.8 (CTEs `t` → `pairs`) — the ground truth the LSH candidate path
-    * is gated against. Reused standalone by `split_leakage`. */
+  /** Shared oracle fragment: exact near-dup PAIRS at threshold 0.8
+    * (CTEs `t` → `post` → `pairs`) — the ground truth the LSH candidate
+    * path is gated against. Reused standalone by `split_leakage`.
+    * Exactness: `sh` lists are distinct, so |A∪B| = |A|+|B|−|A∩B| and
+    * the postings self-join enumerates every pair sharing ≥1 shingle —
+    * a superset of every pair with Jaccard > 0 (`sh` is never empty:
+    * blank docs shingle to ['']), with the same integer inputs and the
+    * same double division as the old all-pairs form, just without the
+    * O(n²) list_intersect scan (the round-5 oracle-suite DoS). */
   private val nearPairsCteSql =
     s"""$shingleCteSql,
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-       |        THEN CAST(1.0 AS DOUBLE)
-       |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |             len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.8)""".stripMargin
+       |post AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM t),
+       |lens AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM t),
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+       |    FROM post p JOIN post q ON p.g = q.g AND p.doc_id < q.doc_id
+       |    GROUP BY p.doc_id, q.doc_id) c
+       |  JOIN lens la ON c.id_a = la.doc_id
+       |  JOIN lens lb ON c.id_b = lb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / (la.n + lb.n - i), 6) >= 0.8)""".stripMargin
 
   /** Shared oracle fragment: the deterministic content-hash split rule
     * (first sha256 nibble: 0-b train, c-d val, e-f test) — one copy so
@@ -840,7 +875,7 @@ object SparkEntry {
     * `WITH RECURSIVE`. */
   private val dedupClustersCteSql =
     s"""$nearPairsCteSql,
-       |bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |bidir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |reach AS (
        |  SELECT src AS id, src AS lbl FROM bidir
@@ -854,8 +889,8 @@ object SparkEntry {
     * label(v) = max id reachable from v = component max — the exact
     * canonical semantics of the engine (SURVEY.md §3.5). */
   private def ccOracleSql(edgesSql: String): String =
-    s"""WITH RECURSIVE e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s"""WITH RECURSIVE e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |reach AS (
        |  SELECT src AS id, src AS lbl FROM bidir
        |  UNION
@@ -886,8 +921,8 @@ object SparkEntry {
     }.mkString(",\n")
 
   private def pagerankOracleSql(edgesSql: String, iters: Int, d: Double): String =
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |deg AS (SELECT src, count(*) AS od FROM bidir GROUP BY src),
        |w AS (SELECT b.src, b.dst, CAST(1.0 AS DOUBLE)/d.od AS w
        |      FROM bidir b JOIN deg d USING (src)),
@@ -900,8 +935,8 @@ object SparkEntry {
   /** Weighted PageRank oracle: transition w = weight/strength over the
     * weighted edge CTE `ew` (src, dst, weight). */
   private def pagerankWeightedOracleSql(weightedEdgesSql: String, iters: Int, d: Double): String =
-    s"""WITH ew AS ($weightedEdgesSql),
-       |bidir AS (SELECT src, dst, weight FROM ew
+    s"""WITH ew AS MATERIALIZED ($weightedEdgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst, weight FROM ew
        |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew),
        |st AS (SELECT src, sum(weight) AS st FROM bidir GROUP BY src),
        |w AS (SELECT b.src, b.dst,
@@ -928,8 +963,8 @@ object SparkEntry {
          |    FROM w JOIN r${t - 1} r ON w.src = r.id GROUP BY w.dst) s USING (id))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |deg AS (SELECT src, count(*) AS od FROM bidir GROUP BY src),
        |w AS (SELECT b.src, b.dst, CAST(1.0 AS DOUBLE)/d.od AS w
        |      FROM bidir b JOIN deg d USING (src)),
@@ -953,7 +988,18 @@ object SparkEntry {
     * robust at real inter-centroid distances. MATERIALIZED like the
     * other unrolled oracles (each step is referenced multiple times). */
   private def kMeansOracleSql(k: Int, iters: Int,
-                              embExpr: String = "embedding"): String = {
+                              embExpr: String = "embedding"): String =
+    s"""WITH ${kMeansCtesSql("", k, iters, embExpr)}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM afinal ORDER BY vec_id""".stripMargin
+
+  /** The k-means CTE chain with every CTE name prefixed by `pfx`, so
+    * several independent clusterings (the IVF coarse quantizer + the m
+    * PQ subspaces) can compose inside ONE `WITH` for the ivf_search
+    * oracle. Exposes `${pfx}afinal` (assignments) and `${pfx}c$iters`
+    * (the FINAL centroids the assignment was computed with). */
+  private def kMeansCtesSql(pfx: String, k: Int, iters: Int,
+                            embExpr: String = "embedding"): String = {
     def assignSql(cent: String, out: String) =
       s"""$out AS MATERIALIZED (
          |  SELECT vec_id, e, cluster FROM (
@@ -961,29 +1007,27 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
          |        list_sum(list_transform(list_zip(m.e, c.cent),
          |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cluster ASC) AS rn
-         |    FROM emb m CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+         |    FROM ${pfx}emb m CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
     val steps = (1 to iters).map { t =>
-      s"""${assignSql(s"c${t - 1}", s"a$t")},
-         |c$t AS MATERIALIZED (
+      s"""${assignSql(s"${pfx}c${t - 1}", s"${pfx}a$t")},
+         |${pfx}c$t AS MATERIALIZED (
          |  SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
-         |  FROM c${t - 1} p LEFT JOIN (
+         |  FROM ${pfx}c${t - 1} p LEFT JOIN (
          |    SELECT cluster, list(m ORDER BY dim) AS cent FROM (
          |      SELECT cluster, i AS dim, avg(e[i]) AS m
-         |      FROM a$t CROSS JOIN dims GROUP BY cluster, i)
+         |      FROM ${pfx}a$t CROSS JOIN ${pfx}dims GROUP BY cluster, i)
          |    GROUP BY cluster) n USING (cluster))""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb AS MATERIALIZED (
+    s"""${pfx}emb AS MATERIALIZED (
        |  SELECT vec_id, list_transform($embExpr, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
-       |dims AS MATERIALIZED (
-       |  SELECT unnest(range(1, (SELECT len(e) + 1 FROM emb LIMIT 1))) AS i),
-       |c0 AS MATERIALIZED (
+       |${pfx}dims AS MATERIALIZED (
+       |  SELECT unnest(range(1, (SELECT len(e) + 1 FROM ${pfx}emb LIMIT 1))) AS i),
+       |${pfx}c0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS cent
-       |  FROM emb ORDER BY vec_id LIMIT $k),
+       |  FROM ${pfx}emb ORDER BY vec_id LIMIT $k),
        |$steps,
-       |${assignSql(s"c$iters", "afinal")}
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
-       |FROM afinal ORDER BY vec_id""".stripMargin
+       |${assignSql(s"${pfx}c$iters", s"${pfx}afinal")}""".stripMargin
   }
 
   /** k-truss by unrolled support-peeling: per step, per-edge triangle
@@ -1051,7 +1095,7 @@ object SparkEntry {
     * community_conductance oracles so the three cannot drift. */
   private def lpaStepsSql(iters: Int): String =
     (1 to iters).map { t =>
-      s"""l$t AS (SELECT id, nl AS label FROM (
+      s"""l$t AS MATERIALIZED (SELECT id, nl AS label FROM (
          |  SELECT b.dst AS id, l.label AS nl,
          |    row_number() OVER (PARTITION BY b.dst
          |                       ORDER BY count(*) DESC, l.label ASC) AS rn
@@ -1063,8 +1107,8 @@ object SparkEntry {
     * → smallest) as an unrolled chain of CTEs — integer state, exact. */
   private def lpaOracleSql(edgesSql: String, iters: Int): String = {
     val steps = lpaStepsSql(iters)
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |l0 AS (SELECT id, id AS label FROM v),
        |$steps
@@ -1075,15 +1119,15 @@ object SparkEntry {
     * (row_number over sum(weight) DESC, label ASC). */
   private def lpaWeightedOracleSql(weightedEdgesSql: String, iters: Int): String = {
     val steps = (1 to iters).map { t =>
-      s"""l$t AS (SELECT id, nl AS label FROM (
+      s"""l$t AS MATERIALIZED (SELECT id, nl AS label FROM (
          |  SELECT b.dst AS id, l.label AS nl,
          |    row_number() OVER (PARTITION BY b.dst
          |                       ORDER BY sum(b.weight) DESC, l.label ASC) AS rn
          |  FROM bidir b JOIN l${t - 1} l ON b.src = l.id
          |  GROUP BY b.dst, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ew AS ($weightedEdgesSql),
-       |bidir AS (SELECT src, dst, weight FROM ew
+    s"""WITH ew AS MATERIALIZED ($weightedEdgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst, weight FROM ew
        |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |l0 AS (SELECT id, id AS label FROM v),
@@ -1097,8 +1141,8 @@ object SparkEntry {
     * the doubles agree bit-for-bit before the 6 dp round. */
   private def modularityOracleSql(edgesSql: String, iters: Int): String = {
     val steps = lpaStepsSql(iters)
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |l0 AS (SELECT id, id AS label FROM v),
        |$steps,
@@ -1116,11 +1160,11 @@ object SparkEntry {
        |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
        |dc AS (SELECT l.label AS c, CAST(sum(d.dg) AS DOUBLE) AS dcv
        |       FROM lab l JOIN deg d ON l.id = d.id GROUP BY l.label)
-       |SELECT round(sum(
+       |SELECT coalesce(round(sum(
        |    CAST(coalesce(w.mc, 0) AS DOUBLE) / (SELECT m FROM mm) -
        |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm))) *
-       |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm)))), 6)
-       |  AS modularity
+       |    (dc.dcv / (CAST(2.0 AS DOUBLE) * (SELECT m FROM mm)))), 6),
+       |  CAST(0.0 AS DOUBLE)) AS modularity
        |FROM dc LEFT JOIN within w ON dc.c = w.c""".stripMargin
   }
 
@@ -1144,8 +1188,8 @@ object SparkEntry {
          |    l.seed
          |  FROM l${t - 1} l LEFT JOIN b$t b USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |seeds AS (SELECT id, id % 2 AS label FROM v ORDER BY id LIMIT $k),
        |l0 AS MATERIALIZED (
@@ -1163,8 +1207,8 @@ object SparkEntry {
     * the denominator is 0). Integers until the one final division. */
   private def conductanceOracleSql(edgesSql: String, iters: Int): String = {
     val steps = lpaStepsSql(iters)
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |v AS (SELECT DISTINCT src AS id FROM bidir),
        |l0 AS (SELECT id, id AS label FROM v),
        |$steps,
@@ -1227,8 +1271,8 @@ object SparkEntry {
     * lowest vertex ids (the engine's seed rule) to every reachable
     * vertex. Same recursive-walk shape as the bfs_hops oracle. */
   private def multiSourceBfsCte(edgesSql: String, k: Int): String =
-    s"""WITH RECURSIVE e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    s"""WITH RECURSIVE e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |seeds AS (SELECT id FROM (SELECT DISTINCT src AS id FROM bidir)
        |          ORDER BY id LIMIT $k),
        |walk AS (
@@ -1251,8 +1295,8 @@ object SparkEntry {
          |  FROM bidir b JOIN x${t - 1} x ON b.src = x.id GROUP BY b.dst),
          |m$t AS MATERIALIZED (SELECT max(v) AS m FROM x$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |x0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS v FROM bidir),
        |m0 AS (SELECT CAST(1.0 AS DOUBLE) AS m),
        |$steps
@@ -1375,8 +1419,8 @@ object SparkEntry {
          |    CAST(1.0 AS DOUBLE) + CAST($alpha AS DOUBLE) * sum(x.v) AS v
          |  FROM bidir b JOIN x${t - 1} x ON b.src = x.id GROUP BY b.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |x0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS v FROM bidir),
        |$steps
        |SELECT id, round(v, 6) AS katz FROM x$iters ORDER BY id""".stripMargin
@@ -1428,8 +1472,8 @@ object SparkEntry {
     val out = (0 to steps)
       .map(t => s"SELECT seed, walk, CAST($t AS BIGINT) AS step, vertex FROM s$t")
       .mkString("\nUNION ALL\n")
-    s"""WITH e AS ($edgesSql),
-       |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
        |s0 AS MATERIALIZED (
        |  SELECT v.id AS seed, w.walk, v.id AS vertex
        |  FROM (SELECT DISTINCT src AS id FROM bidir) v
@@ -1450,14 +1494,14 @@ object SparkEntry {
       s"""$nationEdgesWeightedSql
          |ORDER BY src, dst""".stripMargin,
     "strength" ->
-      s"""WITH ew AS ($nationEdgesWeightedSql),
-         |bidir AS (SELECT src, dst, weight FROM ew
+      s"""WITH ew AS MATERIALIZED ($nationEdgesWeightedSql),
+         |bidir AS MATERIALIZED (SELECT src, dst, weight FROM ew
          |          UNION ALL SELECT dst AS src, src AS dst, weight FROM ew)
          |SELECT src AS id, CAST(sum(weight) AS BIGINT) AS strength
          |FROM bidir GROUP BY src ORDER BY id""".stripMargin,
     "neighbor_jaccard" ->
-      s"""WITH e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
          |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
          |cn AS (SELECT e.src, e.dst, count(*) AS c
          |       FROM e JOIN bidir n1 ON n1.src = e.src
@@ -1671,6 +1715,86 @@ object SparkEntry {
       val cols = (0 until pqM).map(j => s"p$j.cluster AS code_$j").mkString(", ")
       s"SELECT vec_id, $cols\nFROM $joins\nORDER BY vec_id"
     },
+    // IVF-PQ search oracle: the coarse + m subspace k-means chains
+    // composed in one WITH (prefixed CTE names), then probe → ADC →
+    // exact rerank, mirroring Similarity.ivfSearch step for step. The
+    // float surfaces (probe/ADC distances over avg'd centroids) carry
+    // the kmeans_assign robustness argument; the rerank cosine is the
+    // knn_all-gated bit-identical arithmetic.
+    "ivf_search" -> {
+      val iters = kmeansIters
+      val sub = 64 / pqM
+      val subChains = (0 until pqM).map { j =>
+        kMeansCtesSql(s"s${j}_", kmeansK, iters,
+          s"embedding[${j * sub + 1}:${(j + 1) * sub}]")
+      }.mkString(",\n")
+      val dtabs = (0 until pqM).map { j =>
+        s"""dt$j AS MATERIALIZED (
+           |  SELECT q.query_id, c.cluster AS code,
+           |    list_sum(list_transform(
+           |      list_zip(q.qe[${j * sub + 1}:${(j + 1) * sub}], c.cent),
+           |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+           |  FROM q CROSS JOIN s${j}_c$iters c)""".stripMargin
+      }.mkString(",\n")
+      val idxJoins = (0 until pqM)
+        .map(j => s"JOIN s${j}_afinal s$j USING (vec_id)").mkString("\n  ")
+      val idxCols = (0 until pqM).map(j => s"s$j.cluster AS code_$j").mkString(", ")
+      val adcJoins = (0 until pqM)
+        .map(j => s"JOIN dt$j ON dt$j.query_id = p.query_id AND dt$j.code = i.code_$j")
+        .mkString("\n  ")
+      val adcSum = (0 until pqM).map(j => s"dt$j.d").mkString(" + ")
+      s"""WITH ${kMeansCtesSql("cq_", kmeansK, iters)},
+         |$subChains,
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+         |  FROM embeddings WHERE vec_id < 10),
+         |probe AS MATERIALIZED (
+         |  SELECT query_id, cluster AS cell FROM (
+         |    SELECT q.query_id, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_sum(list_transform(list_zip(q.qe, c.cent),
+         |          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cluster ASC) AS rn
+         |    FROM q CROSS JOIN cq_c$iters c) WHERE rn <= 2),
+         |idx AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cluster AS cell, $idxCols
+         |  FROM cq_afinal a
+         |  $idxJoins),
+         |$dtabs,
+         |cand AS MATERIALIZED (
+         |  SELECT p.query_id, i.vec_id, $adcSum AS adc
+         |  FROM probe p
+         |  JOIN idx i ON p.cell = i.cell AND p.query_id <> i.vec_id
+         |  $adcJoins),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+         |    FROM cand) WHERE rn <= $ivfRerank),
+         |scored AS (
+         |  SELECT query_id, vec_id AS nbr_id,
+         |    round(CASE WHEN nq * nc = 0 THEN CAST(0.0 AS DOUBLE)
+         |               ELSE d/(nq*nc) END, 8) AS cos
+         |  FROM (
+         |    SELECT p.query_id, p.vec_id,
+         |      list_sum(list_transform(list_zip(q.qe0, e.ce),
+         |        p2 -> CAST(p2[1] AS DOUBLE) * CAST(p2[2] AS DOUBLE))) AS d,
+         |      sqrt(list_sum(list_transform(q.qe0,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+         |      sqrt(list_sum(list_transform(e.ce,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+         |    FROM pool p
+         |    JOIN (SELECT vec_id AS query_id, embedding AS qe0
+         |          FROM embeddings) q USING (query_id)
+         |    JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e
+         |      USING (vec_id)) s)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, nbr_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // exact all-pairs ground truth for the full-corpus kNN product —
     // same list-lambda cosine arithmetic as ann_topk, no query filter
     "knn_all" ->
@@ -1702,7 +1826,7 @@ object SparkEntry {
          |                names=['a','b'], skip=1, header=false)),
          |e AS (SELECT least(a,b) AS src, greatest(a,b) AS dst
          |      FROM raw WHERE a <> b),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |reach AS (
          |  SELECT src AS id, src AS lbl FROM bidir
          |  UNION
@@ -1725,7 +1849,7 @@ object SparkEntry {
     "cc_nation" -> ccOracleSql(nationEdgesSql),
     "cc_sizes" ->
       s"""WITH RECURSIVE e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |reach AS (
          |  SELECT src AS id, src AS lbl FROM bidir
          |  UNION
@@ -1741,7 +1865,7 @@ object SparkEntry {
          |JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
     "triangles_per_vertex" ->
-      s"""WITH e AS ($nationEdgesSql),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
          |tri AS (
          |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
          |  FROM e e1
@@ -1763,7 +1887,7 @@ object SparkEntry {
          |FROM d ORDER BY id""".stripMargin,
     "cc_dense_labels" ->
       s"""WITH RECURSIVE e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |reach AS (
          |  SELECT src AS id, src AS lbl FROM bidir
          |  UNION
@@ -1801,7 +1925,7 @@ object SparkEntry {
         |  bpeish_tokens
         |FROM m ORDER BY doc_id""".stripMargin,
     "degree_histogram" ->
-      s"""WITH e AS ($nationEdgesSql),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
          |d AS (
          |  SELECT id, CAST(count(*) AS BIGINT) AS degree
          |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
@@ -1905,7 +2029,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "bfs_hops" ->
       s"""WITH RECURSIVE e AS ($supplierEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |walk AS (
          |  SELECT (SELECT min(src) FROM bidir) AS id, 0 AS d
          |  UNION
@@ -1918,7 +2042,7 @@ object SparkEntry {
     "community_conductance" -> conductanceOracleSql(nationEdgesSql, lpaIters),
     "ktruss4" -> kTrussOracleSql(nationEdgesSql, k = 4, iters = 15),
     "clustering_coeff" ->
-      s"""WITH e AS ($nationEdgesSql),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
          |d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
          |      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
          |      GROUP BY id),
@@ -1935,8 +2059,8 @@ object SparkEntry {
          |                  (degree * (degree - 1)), 6) END AS clustering
          |FROM d LEFT JOIN tri USING (id) ORDER BY id""".stripMargin,
     "common_neighbors" ->
-      s"""WITH e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |cn AS (
          |  SELECT e.src, e.dst, count(*) AS c
          |  FROM e
@@ -1954,7 +2078,7 @@ object SparkEntry {
          |                names=['a','b'], skip=1, header=false)),
          |e AS (SELECT DISTINCT least(a,b) AS src, greatest(a,b) AS dst
          |      FROM raw WHERE a <> b),
-         |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |cn AS (
          |  SELECT x.src AS id, y.dst AS cand, count(*) AS cn
          |  FROM bidir x JOIN bidir y ON x.dst = y.src AND x.src <> y.dst
@@ -2027,21 +2151,28 @@ object SparkEntry {
         |  FROM documents) WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     // exact all-pairs 3-shingle Jaccard ≥ 0.8 — the ground truth the
     // LSH+verify pipeline must reproduce exactly (recall included)
+    // postings self-join computes |A∩B| relationally (sh lists are
+    // distinct; |A∪B| = |A|+|B|−|A∩B|; pairs with no shared shingle
+    // have jaccard 0 < 0.8) — same integers, same double division as
+    // the old O(n²) all-pairs form, minus the oracle-suite DoS
     "dedup_near_pairs" ->
       s"""WITH $shingleCteSql,
+         |post AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM t),
+         |lens AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM t),
          |scored AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-         |          THEN CAST(1.0 AS DOUBLE)
-         |          ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |               len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |  SELECT c.id_a, c.id_b,
+         |    round(CAST(c.i AS DOUBLE) / (la.n + lb.n - c.i), 6) AS jaccard
+         |  FROM (SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+         |        FROM post p JOIN post q ON p.g = q.g AND p.doc_id < q.doc_id
+         |        GROUP BY p.doc_id, q.doc_id) c
+         |  JOIN lens la ON c.id_a = la.doc_id
+         |  JOIN lens lb ON c.id_b = lb.doc_id)
          |SELECT id_a, id_b, jaccard FROM scored
          |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     // Adamic-Adar: common neighbors of each edge weighted 1/ln(deg)
     "adamic_adar" ->
-      s"""WITH e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
          |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
          |cn AS (SELECT e.src, e.dst, n1.dst AS w
          |       FROM e JOIN bidir n1 ON n1.src = e.src
@@ -2057,8 +2188,8 @@ object SparkEntry {
     // every partial sum below 2^53 is exact, so the value is identical
     // to the engine's at any fold order (no streaming corr())
     "assortativity" ->
-      s"""WITH e AS ($nationEdgesSql),
-         |bidir AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+      s"""WITH e AS MATERIALIZED ($nationEdgesSql),
+         |bidir AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
          |deg AS (SELECT src AS id, count(*) AS dg FROM bidir GROUP BY src),
          |p AS (SELECT CAST(d1.dg AS DOUBLE) AS x, CAST(d2.dg AS DOUBLE) AS y
          |      FROM bidir b JOIN deg d1 ON b.src = d1.id
@@ -2183,6 +2314,30 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(c, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id)
         |WHERE doc_id % 25 <> 0 ORDER BY doc_id""".stripMargin,
+    // substring-overlap pairs: k-token grams (k = substringK) exploded
+    // to postings, capped per gram at 1000 smallest doc_ids (QUALIFY =
+    // the engine's capGroups keep-rule, inert at sf0.01 where no gram
+    // has > 500 postings), self-joined, distinct-shared-gram count
+    "substring_dup_pairs" -> {
+      val k = substringK
+      raw"""WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < $k
+        |    THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(generate_series(1, len(tk) - ${k - 1}),
+        |      i -> array_to_string(tk[i:i+${k - 1}], ' ')) END) AS sh
+        |  FROM toks),
+        |post AS MATERIALIZED (
+        |  SELECT doc_id, gg FROM (SELECT doc_id, unnest(sh) AS gg FROM g)
+        |  QUALIFY row_number() OVER (PARTITION BY gg ORDER BY doc_id) <= 1000)
+        |SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM post p JOIN post q ON p.gg = q.gg AND p.doc_id < q.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "split_leakage" ->
       s"""WITH $nearPairsCteSql,
          |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)

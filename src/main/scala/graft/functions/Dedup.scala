@@ -176,4 +176,41 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= maxHamming))
    }
+
+  /** Substring-overlap duplicate pairs (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): pairs of
+    * documents sharing at least one run of `k` consecutive verbatim
+    * tokens — equivalently, at least one shared k-token shingle —
+    * with the count of distinct shared k-shingles per pair. This is
+    * the dedup modality document-level Jaccard at 0.8 misses: two
+    * long, otherwise-different documents with a copied paragraph.
+    *
+    * Scale design: one shingle pass (distinct per doc), then a
+    * bucketed self-equi-join on the GRAM key — never all-pairs. Hot
+    * grams (boilerplate paragraphs shared by thousands of docs) are
+    * the quadratic hazard; [[graft.plans.Skew.capGroups]] bounds each
+    * gram's posting list at `maxPostings` (smallest doc_ids kept,
+    * deterministic, with the live dropped-row signal), so a gram
+    * contributes at most C(maxPostings, 2) pairs. At k = 20-50 true
+    * boilerplate is exactly what gets capped first — the pairs lost
+    * are within already-flagged flood groups (run exact dedup
+    * upstream, as with [[nearDuplicates]]). */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 20, maxPostings: Int = 1000): DataFrame =
+    org.apache.spark.sql.GraftLineage.scopedBlocks(docs.sparkSession) {
+      val grams = docs
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col(idCol).as("doc_id"),
+          explode(array_distinct(shingles(col(textCol), k))).as("g"))
+      // barrier AFTER the cap: the self-join consumes the capped
+      // postings twice, and the shingle HOF chain must evaluate once
+      val post = org.apache.spark.sql.GraftLineage.barrier(
+        graft.plans.Skew.capGroups(grams, Seq(col("g")), col("doc_id"),
+          maxPostings))
+      org.apache.spark.sql.GraftLineage.barrier(
+        post.as("p").join(post.as("q"),
+            col("p.g") === col("q.g") && col("p.doc_id") < col("q.doc_id"))
+          .groupBy(col("p.doc_id").as("id_a"), col("q.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared")))
+    }
 }

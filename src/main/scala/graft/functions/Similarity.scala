@@ -103,12 +103,19 @@ object Similarity {
               dim: Int, planes: Int = 48, bandBits: Int = 0): DataFrame =
    org.apache.spark.sql.GraftLineage.scopedBlocks(corpus.sparkSession) {
     // bandBits = 0 (the default) self-tunes from the corpus count: one
-    // cheap count() picks bandBitsFor(n), so default invocations keep
+    // count() picks bandBitsFor(n), so default invocations keep
     // per-bucket occupancy (and the candidate volume) bounded as the
     // corpus grows instead of silently scanning ~75% of it per query.
     // At the measured-recall scales (≤10^3 vectors) the auto choice is
     // exactly the old 48/4 default, so the recall curve still applies.
-    val bb = if (bandBits > 0) bandBits else bandBitsFor(corpus.count())
+    // The count runs on a barrier'd corpus (released at scope end): a
+    // caller handing in a derived, unmaterialized frame must not pay a
+    // full re-evaluation of its upstream pipeline for the count AND
+    // again for the banding pass below.
+    val corpusM =
+      if (bandBits > 0) corpus
+      else org.apache.spark.sql.GraftLineage.barrier(corpus)
+    val bb = if (bandBits > 0) bandBits else bandBitsFor(corpusM.count())
     val bands = math.max(1, planes / bb)
     // Candidate fraction per query ≈ bands/2^bandBits of the corpus.
     // Still possible to hit by pinning bandBits low explicitly — loud,
@@ -129,7 +136,7 @@ object Similarity {
         .toDF(idName, embName, "band", "bucket")
     // barrier (not persist): tracked by the enclosing scopedBlocks
     val c = org.apache.spark.sql.GraftLineage.barrier(
-      banded(corpus, "nbr_id", "nbr_emb"))
+      banded(corpusM, "nbr_id", "nbr_emb"))
     val q = banded(queries, "query_id", "q_emb")
     val cands = c.join(broadcast(q),
         c("band") === q("band") && c("bucket") === q("bucket") &&
@@ -261,7 +268,15 @@ object Similarity {
     * (update) over the corpus — no corpus shuffle at all; the plan (and
     * its codegen) is identical every iteration, the lesson of the
     * PageRank dangling-mass fix. */
-  def kMeans(corpus: DataFrame, k: Int, dim: Int, iters: Int = 5): DataFrame = {
+  def kMeans(corpus: DataFrame, k: Int, dim: Int, iters: Int = 5): DataFrame =
+    kMeansModel(corpus, k, dim, iters)._1
+
+  /** [[kMeans]] plus the FINAL centroids (the k × dim driver-resident
+    * model) — the coarse quantizer / codebook form [[ivfSearch]] probes.
+    * The centroids are the ones the returned assignment was computed
+    * with (post-update iteration `iters`). */
+  def kMeansModel(corpus: DataFrame, k: Int, dim: Int,
+                  iters: Int = 5): (DataFrame, Array[(Int, Seq[Double])]) = {
     require(k >= 1 && iters >= 1, s"kMeans needs k >= 1, iters >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -305,7 +320,7 @@ object Similarity {
       assign().select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderBy("vec_id"))
     org.apache.spark.sql.GraftLineage.release(c)
-    out
+    (out, centroids)
   }
 
   /** Product-quantization codes (Jégou, Douze, Schmid, "Product
@@ -333,6 +348,111 @@ object Similarity {
           .withColumnRenamed("cluster", s"code_$j")
       }
       .reduce((a, b) => a.join(b, "vec_id"))
+  }
+
+  /** IVF-PQ approximate nearest-neighbor SEARCH (Jégou et al., TPAMI
+    * 2011 — the IVFADC system): probe the `nprobe` nearest coarse
+    * cells per query, ADC-score only those cells' PQ codes with
+    * per-query subspace distance tables, exact-rerank the best
+    * `rerank` candidates by true cosine. Output matches
+    * [[bruteForceTopK]]: (query_id, rank, nbr_id, cos@8dp), ties by id.
+    *
+    * Determinism: everything integer-gated upstream is the pinned
+    * [[kMeansModel]]; the two float surfaces (probe/ADC distances from
+    * averaged centroids) differ cross-engine by ~1e-13 relative —
+    * candidate sets only flip if two candidates tie to that precision
+    * at the nprobe/rerank cutoffs, which real embeddings don't (the
+    * same robustness argument as the gated kmeans_assign).
+    *
+    * Scale design: the index is ONE table (vec_id, cell, code_0..m-1)
+    * built by m+1 broadcast-centroid passes (no corpus shuffle, see
+    * [[kMeans]]); a search touches corpus rows only via (a) one
+    * broadcast probe-table join on `cell` (scans the index, shuffles
+    * nothing) and (b) m broadcast ADC-table joins + one windowed top-k
+    * over candidates — per-query cost tracks the probed cells' sizes,
+    * never the corpus. Queries collect to the driver (a search API's
+    * query batch is small by contract — same class as
+    * [[bruteForceTopK]]'s broadcast). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nlist: Int = 4, nprobe: Int = 2, m: Int = 4, kSub: Int = 4,
+                rerank: Int = 32, iters: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, nlist]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    org.apache.spark.sql.GraftLineage.scopedBlocks(spark) {
+      // index build: coarse cells + m subspace codebooks/codes
+      val (coarse, coarseCents) = kMeansModel(corpus, nlist, dim, iters)
+      val subModels = (0 until m).map { j =>
+        kMeansModel(corpus.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+          kSub, sub, iters)
+      }
+      val index = subModels.zipWithIndex
+        .foldLeft(coarse.withColumnRenamed("cluster", "cell")) {
+          case (acc, ((a, _), j)) =>
+            acc.join(a.withColumnRenamed("cluster", s"code_$j"), "vec_id")
+        }
+      // driver-side probe + ADC tables from the collected query batch.
+      // d2 accumulates LEFT TO RIGHT — the same order as the oracle's
+      // list_sum(list_transform(...)), so distances match bit-for-bit
+      // given equal centroid inputs.
+      def d2(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val qRows = queries.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val probes = qRows.toSeq.flatMap { case (qid, qe) =>
+        coarseCents.map { case (cIdx, cent) => (cIdx, d2(qe, cent)) }
+          .sortBy { case (cIdx, d) => (d, cIdx) } // ties → smaller cell
+          .take(nprobe).map { case (cIdx, _) => (qid, cIdx.toLong) }
+      }
+      val dtabs = (0 until m).map { j =>
+        val rows = qRows.toSeq.flatMap { case (qid, qe) =>
+          val qs = qe.slice(j * sub, (j + 1) * sub)
+          subModels(j)._2.map { case (code, cent) =>
+            (qid, code.toLong, d2(qs, cent))
+          }
+        }
+        broadcast(spark.createDataset(rows).toDF("query_id", s"code_$j", s"_d$j"))
+      }
+      // candidates = probed cells' index rows (broadcast join — the
+      // index never shuffles); self-matches excluded like bruteForceTopK
+      val cand = index
+        .join(broadcast(spark.createDataset(probes).toDF("query_id", "cell")),
+          Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+      val adc = (0 until m)
+        .foldLeft(cand)((df, j) => df.join(dtabs(j), Seq("query_id", s"code_$j")))
+        .select(col("query_id"), col("vec_id"),
+          (0 until m).map(j => col(s"_d$j")).reduceLeft(_ + _).as("adc"))
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      val pool = adc.withColumn("_rn", row_number().over(wAdc))
+        .filter(col("_rn") <= rerank).select(col("query_id"), col("vec_id"))
+      // exact rerank of the tiny pool: true cosine (codegen'd unrolled
+      // kernel, the knn_all-gated arithmetic), rank by the ROUNDED score
+      val scored = corpus.select(col("vec_id"), col("embedding").as("nbr_emb"))
+        .join(broadcast(pool), Seq("vec_id"))
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+      val nn = normUnrolled(col("q_emb"), dim) * normUnrolled(col("nbr_emb"), dim)
+      val cosed = scored.select(col("query_id"), col("vec_id").as("nbr_id"),
+        round(when(nn === 0.0, lit(0.0))
+          .otherwise(dotUnrolled(col("q_emb"), col("nbr_emb"), dim) / nn), 8)
+          .as("cos"))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id").asc)
+      org.apache.spark.sql.GraftLineage.barrier(
+        cosed.withColumn("rank", row_number().over(wC))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("nbr_id"), col("cos")))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥

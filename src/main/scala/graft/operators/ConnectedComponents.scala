@@ -107,6 +107,24 @@ object ConnectedComponents {
         * Env override: SPARK_GRAFT_CC_SMALL_FRONTIER. */
       smallFrontierRows: Long = graft.Env.long("SPARK_GRAFT_CC_SMALL_FRONTIER",
         500000L),
+      /** Pointer-jump frontiers at or below this row count (but above
+        * [[smallFrontierRows]]) pre-filter the lookup union with a
+        * broadcast LEFT SEMI join on the frontier's labels before the
+        * shuffle join: a jump only needs lookup rows whose id some
+        * frontier label references, so the shuffle moves O(|frontier|)
+        * matched rows instead of O(|f|) — the round-5 Amdahl
+        * decomposition's measured non-scaling floor (jump lookups
+        * re-shuffled ~8 M rows at identical ~4 s cost at 2 AND 8
+        * threads). Early jumps (frontier ≈ f) keep the plain shuffle
+        * join: the semi-join cannot shrink anything there and the
+        * broadcast would be |f|-sized. NOTE the filter must be on the
+        * FULL lookup union — restricting the lookup to the previous
+        * jump's output is semantically wrong (a frontier label can
+        * reference a segment resolved at ANY earlier jump: on a 9-chain,
+        * vertex 4's jump-3 label 8 lives in jump-1's done segment).
+        * Env override: SPARK_GRAFT_CC_REFS_BROADCAST. */
+      broadcastRefsRows: Long = graft.Env.long("SPARK_GRAFT_CC_REFS_BROADCAST",
+        6000000L),
       /** Tail rounds at or below this edge count finish on the driver:
         * collect the contracted edges, union-find them locally
         * (reference analogue: master-local prefix CC,
@@ -408,8 +426,19 @@ object ConnectedComponents {
           doneParts ::= next.filter($"done").select($"id", $"label")
           frontier = next.filter(!$"done").select($"id", $"label")
         } else {
+          // Lookup-shuffle cut: when the frontier is broadcastable,
+          // semi-filter the lookup on the labels the frontier actually
+          // references — the shuffle side then carries O(|frontier|)
+          // rows, not O(|f|). No distinct on the build side: a semi
+          // join's hashed relation dedups keys itself, and the labels
+          // collect once (same O(frontier) class as the tail probe).
+          val lookupSide =
+            if (undone <= cfg.broadcastRefsRows)
+              lookup.join(broadcast(frontier.select($"label".as("_ref"))),
+                $"id" === $"_ref", "left_semi")
+            else lookup
           val joined = frontier.as("a")
-            .join(lookup.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
+            .join(lookupSide.as("b").hint("shuffle_hash"), $"a.label" === $"b.id", "left")
             .select($"a.id".as("id"),
               coalesce($"b.label", $"a.label").as("label"),
               ($"b.id".isNull || $"b.done").as("done"))

