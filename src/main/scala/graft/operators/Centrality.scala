@@ -190,12 +190,25 @@ object Centrality {
         s"betweenness: BFS not converged within maxHops=$maxHops")
     }
     // ---- backward: δ per level, deepest first ----
+    // Unlike the forward pass (whose per-level job IS the loop-control
+    // read of the frontier size), the backward recurrence has a KNOWN
+    // level count — so no level needs its own driver action. Each δ_t is
+    // a LAZY persist (two consumers: δ_{t-1}'s wSide and the final sum;
+    // the cache makes the single final job compute each level once), and
+    // the ONE materialization is the output barrier. Round 5 paid one
+    // full barrier-job round-trip per level — the measured floor of the
+    // 29.7 s driver-bench betweenness on a 924-vertex fixture. The δ_0
+    // frame (Brandes' excluded endpoint terms) is never built at all;
+    // round 5 materialized it and then discarded it unread. Nested-plan
+    // stats stay bounded: ≤ maxHops join products is a short BigInt,
+    // nothing like the unbounded iterative-self-join explosion barrier
+    // exists to prevent.
     val maxT = levels.size - 1
-    var delta = barrier(
-      levels(maxT).select($"source", $"id", lit(0.0).as("delta")))
-    var allDeltas = List(delta) // every barrier, for release
+    var delta = levels(maxT).select($"source", $"id", lit(0.0).as("delta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lazyDeltas = List(delta) // δ_maxT .. δ_1; all-zero δ_maxT sums to 0
     var lvl = maxT - 1
-    while (lvl >= 0) {
+    while (lvl >= 1) {
       val wSide = levels(lvl + 1).as("sw")
         .join(delta.as("dw"), Seq("source", "id"))
         .select($"source".as("wsource"), $"id".as("w"),
@@ -208,31 +221,29 @@ object Centrality {
         .groupBy($"source", $"id")
         .agg(sum($"sigv".cast("double") / $"sigw".cast("double") *
           (lit(1.0) + $"deltaw")).as("c"))
-      val deltaT = barrier(
-        levels(lvl).select($"source", $"id")
-          .join(agg, Seq("source", "id"), "left")
-          .select($"source", $"id", coalesce($"c", lit(0.0)).as("delta"))
-          .repartition(p, $"source", $"id"))
-      allDeltas ::= deltaT
+      val deltaT = levels(lvl).select($"source", $"id")
+        .join(agg, Seq("source", "id"), "left")
+        .select($"source", $"id", coalesce($"c", lit(0.0)).as("delta"))
+        .repartition(p, $"source", $"id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lazyDeltas ::= deltaT
       delta = deltaT
       lvl -= 1
     }
     // bc(v) = Σ over sources and dag levels ≥ 1 (a source's own dist-0
-    // row never contributes — Brandes excludes the endpoint s itself,
-    // which is exactly the lvl-0 delta frame); all vertices, 0.0 default
-    val bcParts = allDeltas.filter(_ ne delta) // all but the lvl-0 frame
+    // row never contributes — Brandes excludes the endpoint s itself)
     val verts = adj.select($"v".as("id")).distinct()
     val out = barrier(
-      if (bcParts.isEmpty || maxT == 0)
+      if (maxT == 0)
         verts.select($"id", lit(0.0).as("betweenness"))
       else
         verts.join(
-            bcParts.reduce(_ union _).groupBy($"id")
+            lazyDeltas.reduce(_ union _).groupBy($"id")
               .agg(sum($"delta").as("b")),
             Seq("id"), "left")
           .select($"id", round(coalesce($"b", lit(0.0)), 6).as("betweenness")))
     levels.foreach(release(_))
-    allDeltas.foreach(release(_))
+    lazyDeltas.foreach(_.unpersist())
     visitedParts.foreach(release(_))
     adj.releaseLineage()
     out

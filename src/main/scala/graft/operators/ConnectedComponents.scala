@@ -607,15 +607,19 @@ object ConnectedComponents {
       // Small-star: on (v < u) pairs keyed by u, attach N(u) ∪ {u} to
       // m(u) = min(N(u)) (all neighbors here are < u).
       val minS = ls.groupBy($"dst".as("u")).agg(min($"src").as("m"))
-      val ss = ls.as("e")
-        .join(minS.as("s"), $"e.dst" === $"s.u")
-        .select($"s.m".as("src"), $"e.src".as("dst"))
-        .union(minS.select($"m".as("src"), $"u".as("dst")))
-        .filter($"src" =!= $"dst")
-        .distinct()
-        .cutLineage()
+      // convergence signature observed INSIDE the materialization job —
+      // the separate signature() agg was one extra full scan per round
+      val (ss, sm) = barrierObserved(
+        ls.as("e")
+          .join(minS.as("s"), $"e.dst" === $"s.u")
+          .select($"s.m".as("src"), $"e.src".as("dst"))
+          .union(minS.select($"m".as("src"), $"u".as("dst")))
+          .filter($"src" =!= $"dst")
+          .distinct(),
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h"))
 
-      val newSig = signature(ss)
+      val newSig = (sm("c").asInstanceOf[Long], sm("h").asInstanceOf[Long])
       converged = newSig == sig
       edges.releaseLineage(); ls.releaseLineage()
       edges = ss
@@ -670,10 +674,23 @@ object ConnectedComponents {
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
     val ck = cfg.checkpointDir.map(new CheckpointManager(spark, _))
 
-    var edges = edges0.toDF().cutLineage()
+    // Round-6 fold: the edge count AND the round's active-vertex estimate
+    // ride the edge materialization job itself as observed metrics —
+    // round 5 paid one extra countDistinct aggregation (a full edge scan)
+    // plus one count() action per round on top of it. approx_count_distinct
+    // (HLL, ±2% typical) is sound for nEst: it only sizes the sample
+    // bound, which already carries (1+delta)=1.2 headroom, and prefix CC
+    // is exact on ANY sample — sample size affects round count, never
+    // correctness.
+    val vertEst =
+      (approx_count_distinct($"src") + approx_count_distinct($"dst")).as("n")
+    val (edges00, m0) = barrierObserved(edges0.toDF(),
+      count(lit(1)).as("c"), vertEst)
+    var edges = edges00
     var mapping = mapping0.cutLineage()
     var round = startRound
-    var edgeCount = edges.count()
+    var edgeCount = Option(m0("c")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var nEst = Option(m0("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     var lastRoots: Option[Long] = None
 
     while (edgeCount > 0 && round < cfg.maxRounds) {
@@ -681,8 +698,6 @@ object ConnectedComponents {
       // Bound: n^(1+eps/2) * (1+delta) — `SparseSampling.hpp:117` with
       // eps=.09, delta=.2 (`SparseSampling.hpp:34-35`) — under a hard cap
       // so the driver collect stays bounded regardless of input.
-      val nEst = edges.select(countDistinct($"src") + countDistinct($"dst"))
-        .collect()(0).getLong(0) // upper bound on active vertices
       val bound = math.min(cfg.sampleHardCap.toDouble,
         math.pow(nEst.toDouble.max(2.0), 1.0 + cfg.sampleEps / 2.0) * (1.0 + cfg.sampleDelta))
       val k = math.max(1L, math.min(edgeCount, bound.toLong))
@@ -714,11 +729,15 @@ object ConnectedComponents {
         .select($"m.id".as("id"), coalesce($"f.new", $"m.label").as("label"))
 
       val prevEdges = edges; val prevMapping = mapping
-      edges = contracted.cutLineage()
+      // next round's count + vertex estimate observed in THIS round's
+      // contraction materialization — no separate count()/agg jobs
+      val (contractedB, cm) = barrierObserved(contracted,
+        count(lit(1)).as("c"), vertEst)
+      edges = contractedB
       val (mappedDf, mm) = barrierObserved(newMapping, rootsMetric)
       mapping = mappedDf
       lastRoots = Option(mm("roots")).map(_.asInstanceOf[Long])
-      val newCount = edges.count()
+      val newCount = Option(cm("c")).map(_.asInstanceOf[Long]).getOrElse(0L)
       prevEdges.releaseLineage(); prevMapping.releaseLineage()
 
       val stepMetric = SuperstepMetrics(cfg.runId, "cc-sampled", round,
@@ -726,6 +745,7 @@ object ConnectedComponents {
       metrics += stepMetric
       ck.foreach(_.appendMetrics(Seq(stepMetric)))
       edgeCount = newCount
+      nEst = Option(cm("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       round += 1
       ck.foreach { c =>
         if (round % cfg.checkpointEvery == 0 || edgeCount == 0)
