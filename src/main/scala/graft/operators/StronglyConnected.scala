@@ -103,16 +103,19 @@ object StronglyConnected {
             .join(colors.as("x"), $"e.src" === $"x.id")
             .groupBy($"e.dst".as("id"))
             .agg(max($"x.c").as("inc"))
+          // one job per color iteration (round-6 fold): the repartition
+          // rides the observed materialization; the unread chg column
+          // stays in the barrier (8 B/row) and is pruned at every read
           val (next, obs) = barrierObserved(
             colors.as("x")
               .join(incoming.as("i"), Seq("id"), "left")
               .select($"id",
                 greatest($"x.c", coalesce($"i.inc", $"x.c")).as("c"),
-                ($"i.inc".isNotNull && $"i.inc" > $"x.c").cast("long").as("chg")),
+                ($"i.inc".isNotNull && $"i.inc" > $"x.c").cast("long").as("chg"))
+              .repartition(p, $"id"),
             sum($"chg").as("nchg"))
           GraftLineage.release(colors)
-          colors = barrier(next.select($"id", $"c").repartition(p, $"id"))
-          GraftLineage.release(next)
+          colors = next
           converged = obs("nchg") == null ||
             obs("nchg").asInstanceOf[Long] == 0L
         }
@@ -125,8 +128,16 @@ object StronglyConnected {
             .filter($"cs.c" === $"cd.c")
             .select($"e.src", $"e.dst")
             .repartition(p, $"dst"))
-        var marked = barrier(colors.filter($"c" === $"id").select($"id", $"c"))
-        var frontier = marked
+        // Round-6 fold: `marked` is a LAZY union of the per-level
+        // barriers (the CC doneParts shape) instead of a consolidated
+        // re-barrier per level — the anti-join scans the same total
+        // rows either way, but the per-level union+repartition JOB (a
+        // full reshuffle of everything marked so far) disappears. One
+        // job per mark level remains: the newMarks materialization.
+        var markedParts =
+          List(barrier(colors.filter($"c" === $"id").select($"id", $"c")))
+        def markedAll: DataFrame = markedParts.reduce(_ union _)
+        var frontier = markedParts.head
         var growing = true
         while (growing) {
           val (newMarks, obs) = barrierObserved(
@@ -134,27 +145,24 @@ object StronglyConnected {
               .join(frontier.as("f"), $"e.dst" === $"f.id")
               .select($"e.src".as("id"), $"f.c".as("c"))
               .distinct()
-              .join(marked, Seq("id"), "left_anti")
+              .join(markedAll, Seq("id"), "left_anti")
               .repartition(p, $"id"),
             count(lit(1)).as("n"))
           val n = if (obs("n") == null) 0L else obs("n").asInstanceOf[Long]
-          if (frontier ne marked) GraftLineage.release(frontier)
           if (n == 0L) { GraftLineage.release(newMarks); growing = false }
           else {
-            val m2 = barrier(marked.union(newMarks).repartition(p, $"id"))
-            GraftLineage.release(marked)
-            marked = m2
+            markedParts ::= newMarks
             frontier = newMarks
           }
         }
         val (asg, aObs) = barrierObserved(
-          marked.select($"id", $"c".as("label")), count(lit(1)).as("n"))
+          markedAll.select($"id", $"c".as("label")), count(lit(1)).as("n"))
         assigned ::= asg
         val nAssigned =
           Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
         // peel the assigned SCCs and iterate on the rest
         val r2 = barrier(
-          remaining.join(marked.select($"id"), Seq("id"), "left_anti")
+          remaining.join(asg.select($"id"), Seq("id"), "left_anti")
             .repartition(p, $"id"))
         GraftLineage.release(remaining); remaining = r2
         nRemaining -= nAssigned
@@ -164,7 +172,7 @@ object StronglyConnected {
             .select($"src", $"dst").repartition(p, $"src"))
         GraftLineage.release(edges); edges = e2
         GraftLineage.release(colors); GraftLineage.release(ce)
-        GraftLineage.release(marked)
+        markedParts.foreach(GraftLineage.release(_))
         round += 1
       }
     }
