@@ -75,9 +75,15 @@ object ProfileResume {
     val suite = Generators.benchSuite(spark, scale, seed = 42L).cutLineage()
     System.err.println(s"[resume-scale] suite edges=${suite.count()} scale=$scale cpus=$cpus")
     val keep: Set[Int] = GraftLineage.plannedRddIds(suite.toDF())
-    def sweep(): Unit = spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => keep(id) }
-      .values.foreach(_.unpersist(blocking = true))
+    // keepAlso: barriers that must survive the sweep (their blocks are
+    // localCheckpoints — unpersisting one makes every later read throw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, the lineage is gone)
+    def sweep(keepAlso: DataFrame*): Unit = {
+      val k = keep ++ keepAlso.flatMap(df => GraftLineage.plannedRddIds(df))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => k(id) }
+        .values.foreach(_.unpersist(blocking = true))
+    }
     def report(line: String): Unit = println(s"[resume-scale] $line")
 
     // ---- CC (hook) -----------------------------------------------------
@@ -109,11 +115,11 @@ object ProfileResume {
       import PageRank.Config
       val iters = 8
       val (base, tBase) = timed(PageRank.run(suite, cfg = Config(maxIter = iters, tol = 0.0)))
-      val baseRanks = barrier(base.ranks); sweep()
+      val baseRanks = barrier(base.ranks); sweep(baseRanks)
       val dir = tmp("pr")
       val (ck, tCk) = timed(PageRank.run(suite, cfg = Config(maxIter = iters,
         tol = 0.0, checkpointDir = Some(dir), checkpointEvery = 2, runId = "rs-pr")))
-      GraftLineage.release(ck.ranks, blocking = true); sweep()
+      GraftLineage.release(ck.ranks, blocking = true); sweep(baseRanks)
       val killedAt = rewind(dir)
       val (res, tRes) = timed(PageRank.resume(spark, dir,
         Config(maxIter = iters, tol = 0.0, runId = "rs-pr-resume")))
@@ -185,11 +191,11 @@ object ProfileResume {
       val (base, tBase) = timed(
         barrier(Traversal.weightedDistances(wedges, seeds)))
       val baseHash = hashOf(base, "source, id, dist")
-      GraftLineage.release(base, blocking = true); sweep()
+      GraftLineage.release(base, blocking = true); sweep(wedges)
       val dir = tmp("sssp")
       val (ck, tCk) = timed(barrier(Traversal.weightedDistances(wedges, seeds,
         checkpointDir = Some(dir), checkpointEvery = 2, runId = "rs-sssp")))
-      GraftLineage.release(ck, blocking = true); sweep()
+      GraftLineage.release(ck, blocking = true); sweep(wedges)
       val killedAt = rewind(dir)
       val (res, tRes) = timed(barrier(
         Traversal.resumeWeightedDistances(spark, dir, runId = "rs-sssp-resume")))
