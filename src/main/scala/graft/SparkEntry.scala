@@ -586,6 +586,21 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    // deterministic stratified sample: per-lang k smallest content-sha
+    // ranks — content-keyed pseudo-random order, reproducible across
+    // engines AND across re-ingests under new ids
+    "corpus_sample" -> ((s, dir) =>
+      graft.functions.Corpus.stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"),
+          Seq("lang" -> col("lang")), k = 10)
+        .orderBy("lang", "rank")),
+    // deterministic sequence packing: concat-then-chunk token bins per
+    // (lang, doc_id mod 4) bucket — exact integer offsets/bins, gated
+    "corpus_pack" -> ((s, dir) =>
+      graft.functions.Corpus.packSequences(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"),
+          col("lang"), budget = 2048L, buckets = 4)
+        .orderBy("lang", "bucket", "doc_id")),
     // exact dedup groups (hash-groupBy)
     "dedup_exact_groups" -> ((s, dir) =>
       graft.functions.Dedup.exactGroups(
@@ -2344,6 +2359,30 @@ object SparkEntry {
          |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
          |FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
          |             JOIN sp sb ON p.id_b = sb.doc_id
-         |WHERE sa.split <> sb.split ORDER BY 1, 2""".stripMargin
+         |WHERE sa.split <> sb.split ORDER BY 1, 2""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT lang, doc_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY sha256(text), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "corpus_pack" ->
+      raw"""WITH t AS MATERIALIZED (
+        |  SELECT lang, doc_id % 4 AS bucket, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS MATERIALIZED (
+        |  SELECT lang, bucket, doc_id, tokens,
+        |    CAST(coalesce(sum(tokens) OVER (
+        |      PARTITION BY lang, bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS "offset"
+        |  FROM t)
+        |SELECT lang, bucket, doc_id, tokens, "offset",
+        |  "offset" // 2048 AS bin, "offset" % 2048 AS bin_offset
+        |FROM o ORDER BY lang, bucket, doc_id""".stripMargin
   )
 }

@@ -94,4 +94,64 @@ object Corpus {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
   }
+
+  /** Deterministic stratified sample: within each stratum, keep the `k`
+    * documents with the SMALLEST content sha256 (ties → smallest id).
+    * Content-keyed rank is a reproducible pseudo-random order that is
+    * engine-independent AND id-independent — re-ingesting the same bytes
+    * under new doc ids selects the same documents, the property a
+    * curation pipeline needs for auditable subsampling. Emits the
+    * stratum columns + (doc_id, rank).
+    *
+    * 100 TB: one row_number window per stratum (the same shape as
+    * [[graft.plans.Skew.capGroups]] with the rank kept as output); the
+    * per-stratum reducer sees only its stratum and emits ≤ k rows. For
+    * mega-strata, pre-split the stratum with a salt column the same way
+    * [[packSequences]] buckets — ranks then become per-(stratum, salt),
+    * still deterministic. */
+  def stratifiedSample(docs: DataFrame, id: Column, text: Column,
+                       strata: Seq[(String, Column)], k: Int): DataFrame = {
+    val base = docs.select(
+      strata.map { case (n, c) => c.as(n) } ++
+        Seq(id.as("doc_id"), sha2(text, 256).as("_sha")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(t => col(t._1)): _*)
+      .orderBy(col("_sha"), col("doc_id"))
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("_sha")
+  }
+
+  /** Deterministic sequence packing: concatenate documents in a fixed
+    * order (doc_id) and chunk the token stream into fixed-budget bins —
+    * each document is assigned the bin where its FIRST token lands:
+    * `offset` = exclusive running token count within its packing bucket,
+    * `bin` = offset div budget, `bin_offset` = offset mod budget. A bin
+    * can overflow by at most one document's tokens — the contract of
+    * concat-then-chunk packing (how LLM pretraining actually consumes
+    * documents), as opposed to bin-packing with reordering.
+    *
+    * 100 TB: packing is embarrassingly parallel across
+    * (lang, doc_id mod `buckets`) groups, so a hot language's window
+    * reducer is bounded to 1/buckets of that language; bucket membership
+    * is pure integer arithmetic (deterministic and oracle-able — a hash
+    * salt would be engine-bound). The token counter is the same
+    * whitespace rule as the gated split_summary/text_stats family. */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+                    lang: Column, budget: Long, buckets: Int = 8): DataFrame = {
+    val base = docs.select(lang.as("lang"),
+      pmod(id, lit(buckets.toLong)).as("bucket"),
+      id.as("doc_id"),
+      TextAnalysis.tokenCount(text).as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base
+      .withColumn("offset", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("lang"), col("bucket"), col("doc_id"), col("tokens"),
+        col("offset"),
+        expr(s"offset div ${budget}L").as("bin"),
+        pmod(col("offset"), lit(budget)).as("bin_offset"))
+  }
 }

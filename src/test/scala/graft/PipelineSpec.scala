@@ -517,4 +517,42 @@ class PipelineSpec extends SparkSpec {
     // config/determinism regression, not a quality claim.
     recall should be >= 0.25
   }
+
+  test("stratified sample is content-keyed: id remapping selects the same texts") {
+    val corpus = spark.createDataset((1 to 60).map(i =>
+      (i.toLong, s"unique document number $i with content $i", if (i % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text", "lang")
+    def picked(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      Corpus.stratifiedSample(df, $"doc_id", $"text", Seq("lang" -> $"lang"), k = 5)
+        .join(df.select($"doc_id", $"text"), "doc_id")
+        .select($"lang", $"text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val a = picked(corpus)
+    a.size shouldBe 10 // 5 per stratum, 2 strata
+    // remap every id (the re-ingest scenario): the SELECTED CONTENT is
+    // identical because rank is keyed on sha256(text), not on ids
+    val b = picked(corpus.withColumn("doc_id", $"doc_id" * 1000L + 7L))
+    b shouldBe a
+  }
+
+  test("sequence packing: offsets are exact running sums, bins chunk the stream") {
+    val corpus = spark.createDataset((0 until 40).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("tok").mkString(" "), if (i % 3 == 0) "en" else "fr")))
+      .toDF("doc_id", "text", "lang")
+    val budget = 10L
+    val out = Corpus.packSequences(corpus, $"doc_id", $"text", $"lang",
+      budget = budget, buckets = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    out.length shouldBe 40
+    for (((_, _, rows)) <- out.groupBy(t => (t._1, t._2)).map(g => (g._1._1, g._1._2, g._2))) {
+      var run = 0L
+      for ((_, _, _, tokens, offset, bin, binOff) <- rows.sortBy(_._3)) {
+        offset shouldBe run            // exclusive running token count
+        bin shouldBe offset / budget   // concat-then-chunk bin
+        binOff shouldBe offset % budget
+        binOff should be < budget
+        run += tokens
+      }
+    }
+  }
 }
