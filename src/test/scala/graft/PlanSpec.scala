@@ -332,4 +332,31 @@ class PlanSpec extends SparkSpec {
     val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     readSchemas should not include "l_extendedprice"
   }
+
+  test("corpus_sample: per-stratum top-k is limited BEFORE the shuffle (WindowGroupLimit)") {
+    // the property that makes a stratified sample viable on a mega-stratum:
+    // Spark 4's rank-limit pushdown keeps at most k rows per stratum per
+    // map task on the shuffle's write side — the full stratum is never
+    // moved. A regression here (e.g. ranking by a non-pushable expression
+    // shape) silently turns the sample into a full-stratum shuffle.
+    val plan = planOf(SparkEntry.queries("corpus_sample")(spark, dir))
+    plan should include("WindowGroupLimit")
+    // partial (pre-shuffle) + final: the limit appears on both sides
+    plan.linesIterator.count(_.contains("WindowGroupLimit")) should be >= 2
+  }
+
+  test("corpus_pack: one Exchange computes the packing (plus the output sort)") {
+    // the exclusive running sum must ride ONE hash exchange on the
+    // bucketed window key; a second non-sort exchange would mean the
+    // window key and the partitioning diverged
+    val plan = planOf(SparkEntry.queries("corpus_pack")(spark, dir))
+    // formatted mode: each physical node appears once in the tree as
+    // "NodeName (id)"; argument partitioning lives in the detail section
+    val treeExchanges = plan.linesIterator.count(_.matches(""".*\bExchange \(\d+\)$"""))
+    withClue(plan.take(2000)) {
+      treeExchanges shouldBe 2 // window hash exchange + output range sort
+    }
+    plan should include("Window")
+    plan should include("hashpartitioning(lang")
+  }
 }
