@@ -124,9 +124,11 @@ object Bench {
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "text_repetition",
       "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
+      "substring_dup_pairs",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
-      "kmeans_assign", "pq_codes", "walk_pairs", "text_stats",
+      "kmeans_assign", "pq_codes", "ivf_search", "walk_pairs", "text_stats",
       "corpus_split", "split_summary", "decontaminate", "split_leakage",
+      "corpus_sample", "corpus_pack",
       "text_lang", "text_quality", "text_jaccard_topk", "tfidf_topk",
       "doc_xent", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
