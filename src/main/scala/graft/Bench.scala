@@ -130,7 +130,7 @@ object Bench {
       "corpus_split", "split_summary", "decontaminate", "split_leakage",
       "corpus_sample", "corpus_pack",
       "text_lang", "text_quality", "text_jaccard_topk", "tfidf_topk",
-      "doc_xent", "vocab_topk",
+      "doc_xent", "doc_xent_bigram", "vocab_topk",
       "token_count_ranks", "docs_per_source_cap", "content_sha",
       "media_features", "cc_parts")
     val queries = SparkEntry.queries

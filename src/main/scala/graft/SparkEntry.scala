@@ -438,6 +438,13 @@ object SparkEntry {
       graft.functions.TextAnalysis.unigramCrossEntropy(
           s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+    // sequence-aware quality score: cross-entropy under the add-0.5
+    // smoothed corpus BIGRAM LM — catches improbable token ORDER that
+    // the unigram score cannot see (docs with <2 tokens emit no row)
+    "doc_xent_bigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bigramCrossEntropy(
+          s.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
     // TF-IDF top-3 terms per document (per-doc keyword extraction for
     // topic balancing; ranked by the 6dp-rounded score so the oracle
     // ranks identically)
@@ -2121,6 +2128,31 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(-sum(tf * ln(cf / (SELECT n FROM total))) / sum(tf), 6) AS xent
         |FROM tf JOIN corpus USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram-LM cross-entropy: same tokenizer and pairing as the
+    // text_repetition bigrams; add-0.5 smoothing over V = corpus
+    // distinct unigrams; 6 dp round absorbs cross-engine Σ/ln ulps
+    "doc_xent_bigram" ->
+      raw"""WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |cbg AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+        |cctx AS MATERIALIZED (
+        |  SELECT w1, CAST(sum(cbg) AS BIGINT) AS cctx FROM cbg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(t) AS w FROM tk)),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |       FROM bg GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  round(-sum(n * ln((cbg + 0.5) / (cctx + 0.5 * (SELECT v FROM v))))
+        |    / sum(n), 6) AS xent_bigram
+        |FROM db JOIN cbg USING (w1, w2) JOIN cctx USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // TF-IDF: same tokenizer as vocab/token counts; rank by the ROUNDED
     // score (ties → token asc) exactly like the engine

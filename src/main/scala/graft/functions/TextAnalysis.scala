@@ -206,4 +206,48 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
+
+  /** Per-document cross-entropy under an add-α smoothed corpus BIGRAM
+    * language model — the sequence-aware upgrade of
+    * [[unigramCrossEntropy]] (a doc of common tokens in an improbable
+    * ORDER scores high here but normal there — word-salad detection):
+    *
+    *   xent = −Σ_bigrams ln P(w2|w1) / n_bigrams,
+    *   P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V)
+    *
+    * with c(w1·) = w1's corpus count as a bigram left context and V =
+    * the corpus distinct-unigram count (the add-α event space). Docs
+    * with < 2 tokens emit no row (no bigram evidence to score).
+    *
+    * Scale: two map-side-combined count tables (corpus bigrams; their
+    * per-context rollup), two equi-joins keyed by the bigram/context,
+    * one per-doc agg. Per-key cardinality of the doc-level groupBy is
+    * bounded by one document's length; the corpus tables are Zipf but
+    * partial aggregation collapses hot bigrams per input partition
+    * before the shuffle (the vocabTopK argument). V is one scalar agg
+    * action — per RUN, not per iteration. */
+  def bigramCrossEntropy(df: DataFrame, id: Column, text: Column,
+                         alpha: Double = 0.5): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("t"))
+    // same zip_with pairing as repetitionStats (both arrays evaluate
+    // once — arguments, not per-element lambdas)
+    val pairs = when(size(col("t")) >= 2,
+      zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = base.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+    val cCtx = cBg.groupBy(col("w1")).agg(sum(col("cbg")).as("cctx"))
+    val v = base.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    docBg.join(cBg, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("n") *
+          log((col("cbg") + lit(alpha)) / (col("cctx") + lit(alpha * v)))) /
+        sum(col("n")), 6).as("xent_bigram"))
+  }
 }

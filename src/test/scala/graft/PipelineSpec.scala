@@ -518,6 +518,22 @@ class PipelineSpec extends SparkSpec {
     recall should be >= 0.25
   }
 
+  test("bigram xent sees token ORDER: a scrambled doc scores higher, unigram xent ties") {
+    // 20 docs share the same phrase; one doc has the SAME token multiset
+    // scrambled — identical unigram distribution, broken bigrams
+    val phrase = "alpha beta gamma delta"
+    val corpus = spark.createDataset(
+      (0L until 20L).map(i => (i, phrase)) :+ (20L, "delta beta alpha gamma"))
+      .toDF("doc_id", "text")
+    def score(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bi = score(TextAnalysis.bigramCrossEntropy(corpus, $"doc_id", $"text"))
+    val uni = score(TextAnalysis.unigramCrossEntropy(corpus, $"doc_id", $"text"))
+    uni(20L) shouldBe uni(0L) // same token multiset → unigram xent blind
+    bi(20L) should be > bi(0L) // broken word order → bigram xent fires
+    bi.size shouldBe 21 // every doc has >= 2 tokens → all scored
+  }
+
   test("stratified sample is content-keyed: id remapping selects the same texts") {
     val corpus = spark.createDataset((1 to 60).map(i =>
       (i.toLong, s"unique document number $i with content $i", if (i % 2 == 0) "en" else "de")))
