@@ -123,7 +123,7 @@ object Bench {
       "condensation_levels", "degrees", "degrees_prefix_sum", "edges_supplier",
       "dedup_exact_groups", "dedup_simhash", "dedup_minhash_bands",
       "text_repetition",
-      "dedup_near_pairs", "dedup_clusters", "dedup_survivors",
+      "dedup_near_pairs", "dedup_clusters", "dedup_survivors", "corpus_final",
       "substring_dup_pairs",
       "corpus_filtered", "ann_topk", "ann_topk_lsh", "knn_all",
       "kmeans_assign", "pq_codes", "ivf_search", "walk_pairs", "text_stats",

@@ -557,6 +557,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy("doc_id")
     }),
+    // THE terminal product: what a training run actually reads — near-dup
+    // survivors ∩ quality floor ∩ identified language ∩ train split,
+    // minus the benchmark docs and every 5-gram-contaminated doc. Every
+    // stage is independently gated; this composes them end-to-end.
+    "corpus_final" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val contaminatedIds = graft.functions.Corpus.contamination(
+          docs, col("doc_id"), col("text"), col("doc_id") % 25 === 0)
+        .filter(col("contaminated") === 1L).select(col("doc_id"))
+      survivorDocs(s, dir)
+        .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang", graft.functions.TextAnalysis.langId(col("text")))
+        .filter(col("quality") >= 0.6 && col("lang") =!= "unknown" &&
+          graft.functions.Corpus.splitExpr(col("text")) === "train" &&
+          col("doc_id") % 25 =!= 0)
+        .join(contaminatedIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    }),
     // ---- corpus management: deterministic split / decontamination ----
     // content-hash train/val/test assignment (pure projection, no shuffle;
     // byte-identical docs always land in the same split)
@@ -895,6 +914,56 @@ object SparkEntry {
     * threshold 0.8 (CTEs `t` → `pairs` → `bidir` → `reach` → `clusters`,
     * canonical max-id labels — the engine's CC semantics). Needs
     * `WITH RECURSIVE`. */
+  /** Shared oracle fragment: the 6-dp quality score (`q`) and language
+    * id (`l`) CTEs over `documents`, mirroring
+    * `TextAnalysis.qualityScore`/`langId` — used by corpus_filtered and
+    * corpus_final so the two gates cannot drift. Also exposes `qt`
+    * (doc_id, text, whitespace tokens) for downstream gram CTEs. */
+  private val qualityLangCteSql =
+    raw"""qt AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |qm AS (
+      |  SELECT doc_id,
+      |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n,
+      |    CAST(length(text) AS DOUBLE) AS len,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+      |    CASE WHEN len(tk) > 0
+      |         THEN CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+      |         ELSE 0.0 END AS mtl
+      |  FROM qt),
+      |q AS (
+      |  SELECT doc_id,
+      |    least(len/200.0, 1.0) * 0.4 +
+      |    (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+      |    (CASE WHEN np/n < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
+      |    (CASE WHEN nd/n < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality_raw
+      |  FROM qm),
+      |ltoks AS (
+      |  SELECT doc_id,
+      |    list_transform(CASE WHEN length(trim(text))=0 THEN []
+      |      ELSE regexp_split_to_array(trim(text),'\s+') END, s -> lower(s)) AS ltk,
+      |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+      |  FROM documents),
+      |lscores AS (
+      |  SELECT doc_id, cjk,
+      |    len(list_filter(ltk, s -> list_contains(['the','and','of','to','is','in','that','with'], s))) AS s_en,
+      |    len(list_filter(ltk, s -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], s))) AS s_de,
+      |    len(list_filter(ltk, s -> list_contains(['le','la','les','et','est','dans','que','une'], s))) AS s_fr,
+      |    len(list_filter(ltk, s -> list_contains(['el','los','las','es','en','que','una','por'], s))) AS s_es
+      |  FROM ltoks),
+      |l AS (
+      |  SELECT doc_id, CASE WHEN cjk > 2 THEN 'zh'
+      |    WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+      |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |    WHEN s_fr >= s_es THEN 'fr'
+      |    ELSE 'es' END AS lang
+      |  FROM lscores)""".stripMargin
+
   private val dedupClustersCteSql =
     s"""$nearPairsCteSql,
        |bidir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2262,54 +2331,39 @@ object SparkEntry {
     // would diverge for scores in [0.5999995, 0.6).
     "corpus_filtered" ->
       raw"""WITH RECURSIVE $dedupClustersCteSql,
-        |qt AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |qm AS (
-        |  SELECT doc_id,
-        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS n,
-        |    CAST(length(text) AS DOUBLE) AS len,
-        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS np,
-        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
-        |    CASE WHEN len(tk) > 0
-        |         THEN CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
-        |         ELSE 0.0 END AS mtl
-        |  FROM qt),
-        |q AS (
-        |  SELECT doc_id,
-        |    least(len/200.0, 1.0) * 0.4 +
-        |    (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
-        |    (CASE WHEN np/n < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2 +
-        |    (CASE WHEN nd/n < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality_raw
-        |  FROM qm),
-        |ltoks AS (
-        |  SELECT doc_id,
-        |    list_transform(CASE WHEN length(trim(text))=0 THEN []
-        |      ELSE regexp_split_to_array(trim(text),'\s+') END, s -> lower(s)) AS ltk,
-        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
-        |  FROM documents),
-        |lscores AS (
-        |  SELECT doc_id, cjk,
-        |    len(list_filter(ltk, s -> list_contains(['the','and','of','to','is','in','that','with'], s))) AS s_en,
-        |    len(list_filter(ltk, s -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], s))) AS s_de,
-        |    len(list_filter(ltk, s -> list_contains(['le','la','les','et','est','dans','que','une'], s))) AS s_fr,
-        |    len(list_filter(ltk, s -> list_contains(['el','los','las','es','en','que','una','por'], s))) AS s_es
-        |  FROM ltoks),
-        |l AS (
-        |  SELECT doc_id, CASE WHEN cjk > 2 THEN 'zh'
-        |    WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
-        |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-        |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-        |    WHEN s_fr >= s_es THEN 'fr'
-        |    ELSE 'es' END AS lang
-        |  FROM lscores)
+        |$qualityLangCteSql
         |SELECT d.doc_id, l.lang, round(q.quality_raw, 6) AS quality
         |FROM documents d JOIN q ON d.doc_id = q.doc_id
         |                 JOIN l ON d.doc_id = l.doc_id
         |WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
         |  AND round(q.quality_raw, 6) >= 0.6 AND l.lang <> 'unknown'
+        |ORDER BY d.doc_id""".stripMargin,
+    // the terminal pipeline product: corpus_filtered's survivors further
+    // restricted to the train split, minus the benchmark docs themselves
+    // and minus every 5-gram-contaminated doc — the rows a training run
+    // actually reads
+    "corpus_final" ->
+      raw"""WITH RECURSIVE $dedupClustersCteSql,
+        |$qualityLangCteSql,
+        |cg AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5
+        |    THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(generate_series(1, len(tk) - 4),
+        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END) AS sh
+        |  FROM qt),
+        |cbench AS (SELECT DISTINCT unnest(sh) AS gg FROM cg WHERE doc_id % 25 = 0),
+        |chits AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS gg FROM cg WHERE doc_id % 25 <> 0) x
+        |  JOIN cbench USING (gg))
+        |SELECT d.doc_id, l.lang, round(q.quality_raw, 6) AS quality
+        |FROM documents d JOIN q ON d.doc_id = q.doc_id
+        |                 JOIN l ON d.doc_id = l.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> label)
+        |  AND round(q.quality_raw, 6) >= 0.6 AND l.lang <> 'unknown'
+        |  AND d.doc_id % 25 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM chits)
+        |  AND $splitCaseSql = 'train'
         |ORDER BY d.doc_id""".stripMargin,
     // duplicate clusters: reachability closure over the SAME exact
     // all-pairs edge set, canonical max-id labels (engine CC semantics)
