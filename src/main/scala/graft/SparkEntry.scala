@@ -914,6 +914,17 @@ object SparkEntry {
     * threshold 0.8 (CTEs `t` → `pairs` → `bidir` → `reach` → `clusters`,
     * canonical max-id labels — the engine's CC semantics). Needs
     * `WITH RECURSIVE`. */
+  /** Shared oracle fragment: the distinct 5-token grams of a token-list
+    * column `tk` (short docs → the whole text as one gram) — the single
+    * source of the contamination gram rule, used by the `decontaminate`
+    * and `corpus_final` oracles so the rule cannot drift between gates
+    * (it mirrors `Corpus.contamination`'s k=5 shingle pipeline). */
+  private val fiveGramListSql =
+    raw"""list_distinct(CASE WHEN len(tk) < 5
+      |    THEN [array_to_string(tk, ' ')]
+      |    ELSE list_transform(generate_series(1, len(tk) - 4),
+      |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END)""".stripMargin
+
   /** Shared oracle fragment: the 6-dp quality score (`q`) and language
     * id (`l`) CTEs over `documents`, mirroring
     * `TextAnalysis.qualityScore`/`langId` — used by corpus_filtered and
@@ -2346,10 +2357,7 @@ object SparkEntry {
       raw"""WITH RECURSIVE $dedupClustersCteSql,
         |$qualityLangCteSql,
         |cg AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5
-        |    THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(generate_series(1, len(tk) - 4),
-        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END) AS sh
+        |  SELECT doc_id, $fiveGramListSql AS sh
         |  FROM qt),
         |cbench AS (SELECT DISTINCT unnest(sh) AS gg FROM cg WHERE doc_id % 25 = 0),
         |chits AS (
@@ -2401,10 +2409,7 @@ object SparkEntry {
         |    ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
         |  FROM documents),
         |g AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5
-        |    THEN [array_to_string(tk, ' ')]
-        |    ELSE list_transform(generate_series(1, len(tk) - 4),
-        |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END) AS sh
+        |  SELECT doc_id, $fiveGramListSql AS sh
         |  FROM toks),
         |bench AS (SELECT DISTINCT unnest(sh) AS gg FROM g WHERE doc_id % 25 = 0),
         |hits AS (

@@ -227,27 +227,37 @@ object TextAnalysis {
     * before the shuffle (the vocabTopK argument). V is one scalar agg
     * action — per RUN, not per iteration. */
   def bigramCrossEntropy(df: DataFrame, id: Column, text: Column,
-                         alpha: Double = 0.5): DataFrame = {
-    val base = df.select(id.as("doc_id"), tokens(text).as("t"))
-    // same zip_with pairing as repetitionStats (both arrays evaluate
-    // once — arguments, not per-element lambdas)
-    val pairs = when(size(col("t")) >= 2,
-      zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bg = base.select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cBg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
-    val cCtx = cBg.groupBy(col("w1")).agg(sum(col("cbg")).as("cctx"))
-    val v = base.select(explode(col("t")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
-    docBg.join(cBg, Seq("w1", "w2")).join(cCtx, Seq("w1"))
-      .groupBy(col("doc_id"))
-      .agg(round(-sum(col("n") *
-          log((col("cbg") + lit(alpha)) / (col("cctx") + lit(alpha * v)))) /
-        sum(col("n")), 6).as("xent_bigram"))
-  }
+                         alpha: Double = 0.5): DataFrame =
+    org.apache.spark.sql.GraftLineage.scopedBlocks(df.sparkSession) {
+      val base = df.select(id.as("doc_id"), tokens(text).as("t"))
+      // same zip_with pairing as repetitionStats (both arrays evaluate
+      // once — arguments, not per-element lambdas)
+      val pairs = when(size(col("t")) >= 2,
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      // barrier: the tokenize+zip_with+explode chain feeds THREE
+      // aggregation consumers (corpus bigrams, per-doc bigrams, and the
+      // context rollup via cBg) — one materialized pass instead of three
+      // full evaluations (the contamination/minhash shared-base rule)
+      val bg = org.apache.spark.sql.GraftLineage.barrier(
+        base.select(col("doc_id"), explode(pairs).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+      val cBg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbg"))
+      val cCtx = cBg.groupBy(col("w1")).agg(sum(col("cbg")).as("cctx"))
+      // V needs the UNIGRAM vocabulary (a single-token doc's token never
+      // reaches the bigram table), so this is the one remaining pass
+      // over the raw text
+      val v = base.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      org.apache.spark.sql.GraftLineage.barrier(
+        docBg.join(cBg, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg(round(-sum(col("n") *
+              log((col("cbg") + lit(alpha)) / (col("cctx") + lit(alpha * v)))) /
+            sum(col("n")), 6).as("xent_bigram")))
+    }
 }

@@ -153,6 +153,18 @@ object StronglyConnected {
           else {
             markedParts ::= newMarks
             frontier = newMarks
+            // compact every 8 levels (the betweenness visitedParts rule):
+            // an uncompacted union grows the anti-join plan linearly in
+            // level count — O(depth²) driver re-analysis on deep regions.
+            // The current frontier stays its own barrier (the next join
+            // reads it directly).
+            if (markedParts.size >= 9) {
+              val rest = markedParts.filter(_ ne frontier)
+              val compacted =
+                barrier(rest.reduce(_ union _).repartition(p, $"id"))
+              rest.foreach(GraftLineage.release(_))
+              markedParts = List(frontier, compacted)
+            }
           }
         }
         val (asg, aObs) = barrierObserved(

@@ -35,11 +35,14 @@ object ProfileResume {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-resume-$tag").toString
 
-  /** Rewind `_LATEST` to the first committed snapshot (simulated kill). */
+  /** Rewind `_LATEST` to the first committed snapshot (simulated kill).
+    * Bounded scan: a dir with no manifest (run died pre-first-commit,
+    * or a wrong path) must fail fast, not probe forever. */
   private def rewind(dir: String): Int = {
-    val first = Iterator.from(1).find { s =>
+    val first = (1 to 100000).find { s =>
       Files.exists(java.nio.file.Paths.get(s"$dir/manifest-$s.json"))
-    }.get
+    }.getOrElse(throw new IllegalStateException(
+      s"no manifest-N.json under $dir — nothing to rewind to"))
     Files.writeString(java.nio.file.Paths.get(s"$dir/_LATEST"), first.toString)
     Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/._LATEST.crc"))
     first
