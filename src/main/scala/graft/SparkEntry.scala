@@ -483,7 +483,11 @@ object SparkEntry {
     // verification kernel of the near-dup pipeline, on hard signal;
     // integer-ratio arithmetic → bit-exact vs the SQL oracle)
     "text_jaccard_topk" -> ((s, dir) => {
+      // repartition first: the docs parquet is one split, and the
+      // shingle + 5×n jaccard kernel below would otherwise run in a
+      // single task (the bandedSignatures rule)
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"),
           array_distinct(graft.functions.Dedup.shingles(col("text"), 3)).as("sh"))
       val q = broadcast(d.filter(col("doc_id") < 5)
@@ -520,7 +524,7 @@ object SparkEntry {
     "substring_dup_pairs" -> ((s, dir) =>
       graft.functions.Dedup.substringDupPairs(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          k = substringK)
+          k = substringK, maxPostings = substringMaxPostings)
         .orderBy("id_a", "id_b")),
     // duplicate CLUSTERS: connected components over the near-dup pair
     // graph — the step a production dedup pipeline actually ends with
@@ -783,6 +787,10 @@ object SparkEntry {
   /** substring-dup run length (tokens): 20 ≈ the Lee et al. 2022 range;
     * the sf0.01 corpus yields 24 pairs (non-vacuous, selective). */
   private val substringK = 20
+  /** substring-dup per-gram postings cap, passed EXPLICITLY to the
+    * engine so it can never drift from the oracle's `QUALIFY ... <= 1000`
+    * literal (the frozen SQL text hard-codes 1000 — keep them equal). */
+  private val substringMaxPostings = 1000
   /** ivf_search exact-rerank pool size (per query, before top-k). */
   private val ivfRerank = 32
   /** PQ subvector count over the 64-dim corpus (16 dims/subspace). */

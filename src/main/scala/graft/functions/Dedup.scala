@@ -103,12 +103,39 @@ object Dedup {
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
 
+  /** [[bandedSignatures]]' banding computed from an ALREADY-shingled
+    * (id, sh) barrier instead of raw text: `h_i` is the same
+    * `xxhash64(i, xxhash64(shingle))` family over the same distinct
+    * shingle set, so buckets are identical — but the tokenize+shingle
+    * pass (the dominant cost of the dedup pipeline) is not repeated
+    * when the caller already materialized the shingle table for the
+    * verify stage (guide §1.2: don't compute things twice). */
+  private def bandedFromShingles(base: DataFrame, bands: Int,
+                                 rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val h1 = transform(col("sh"), s => xxhash64(s))
+    val idx = sequence(lit(0), lit(numHashes - 1))
+    val sig = org.apache.spark.sql.GraftLineage.barrier(
+      base.select(col("id"),
+        aggregate(h1, array_repeat(lit(Long.MaxValue), numHashes),
+          (acc, h) => zip_with(acc, idx, (m, i) => least(m, xxhash64(i, h))))
+          .as("sig")))
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          xxhash64(b), (acc, h) => xxhash64(acc, h)))))
+      .toDF("id", "band", "bucket")
+  }
+
   /** MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard ≥
     * threshold. Standard shingle→minhash→band→bucket-join→verify
-    * pipeline. EAGER: the result is materialized inside the call so the
-    * intermediate shingle cache and signature barriers can be released
-    * immediately (repeated library calls hold no stale blocks); release
-    * the returned frame with `releaseLineage()` when consumed. */
+    * pipeline; the shingle table is materialized ONCE and feeds both the
+    * signature/banding stage and the verify joins (the banding used to
+    * re-tokenize and re-shingle every document from raw text). EAGER:
+    * the result is materialized inside the call so the intermediate
+    * shingle cache and signature barriers can be released immediately
+    * (repeated library calls hold no stale blocks); release the
+    * returned frame with `releaseLineage()` when consumed. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                      threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame =
@@ -119,8 +146,14 @@ object Dedup {
         .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
         .select(col(idCol).as("id"),
           array_distinct(shingles(col(textCol), k)).as("sh")))
-      val cands = minhashCandidates(df, col(idCol), col(textCol), k, bands,
-        rowsPerBand, maxBucket)
+      val banded = graft.plans.Skew.capGroups(
+        bandedFromShingles(base, bands, rowsPerBand),
+        Seq(col("band"), col("bucket")), col("id"), maxBucket)
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
       org.apache.spark.sql.GraftLineage.barrier(cands
         .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -198,7 +198,8 @@ object Similarity {
     // is O(n²) in an O(n)-sized table, so inheriting the scan's split
     // count (often 1 for a small parquet) would serialize the whole
     // kernel into one task — an n-row shuffle buys n²/p parallelism.
-    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = corpus.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
     val c = org.apache.spark.sql.GraftLineage.barrier(
       corpus.select(col("vec_id"), col("embedding"),
         normUnrolled(col("embedding"), dim).as("nrm")).repartition(p))
@@ -208,15 +209,81 @@ object Similarity {
       round(when(nn === 0.0, lit(0.0))
         .otherwise(dotUnrolled(col("q_emb"), col("nbr_emb"), dim) / nn), 8)
     }
-    val scored =
-      if (n <= exactRows) {
-        val q = broadcast(c.select(col("vec_id").as("query_id"),
-          col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
-        c.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"),
-            col("nrm").as("nbr_nrm"))
-          .join(q, col("query_id") =!= col("nbr_id"))
-          .select(col("query_id"), col("nbr_id"), pairCos.as("cos"))
-      } else {
+    if (n <= exactRows) {
+      // EXACT path as a partition-batched JVM kernel (guide §4.2/§8:
+      // heavy per-pair compute in tight primitive loops; decide with
+      // small rows, never shuffle the n² pair table). The corpus — ≤
+      // exactRows × dim floats, the same bounded class the old plan
+      // broadcast — ships once with precomputed neighbor norms; each
+      // partition scans its rows as queries against the broadcast and
+      // emits its queries' FINAL top-k (map-side top-k: the n²-row
+      // exchange + per-query window sort of the expression plan
+      // disappear; measured 15.5 s → ~2 s at sf0.1, 2000×64-d).
+      // Arithmetic is bit-identical to the old dotUnrolled/normUnrolled
+      // expression kernel: float→double casts per element, ascending-
+      // index left-to-right sums, nn == 0 guard, and the same
+      // BigDecimal HALF_UP 8 dp round Spark's round() applies —
+      // asserted by PipelineSpec against the expression plan.
+      import spark.implicits._
+      val rows = c.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val ids = rows.map(_._1)
+      val embs = rows.map(_._2)
+      val nrms = embs.map { e =>
+        var s = 0.0; var i = 0
+        while (i < e.length) { val x = e(i).toDouble; s += x * x; i += 1 }
+        math.sqrt(s)
+      }
+      val bc = spark.sparkContext.broadcast((ids, embs, nrms))
+      val kk = k
+      val topk = c.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val (nIds, nEmbs, nNrms) = bc.value
+          val cnt = nIds.length
+          def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+            c1 > c2 || (c1 == c2 && i1 < i2)
+          it.flatMap { case (qid, qe) =>
+            var qs = 0.0; var i = 0
+            while (i < qe.length) { val x = qe(i).toDouble; qs += x * x; i += 1 }
+            val qn = math.sqrt(qs)
+            val topCos = new Array[Double](kk)
+            val topId = new Array[Long](kk)
+            var filled = 0
+            var j = 0
+            while (j < cnt) {
+              val nid = nIds(j)
+              if (nid != qid) {
+                val nn = qn * nNrms(j)
+                val cos =
+                  if (nn == 0.0) 0.0
+                  else {
+                    val b = nEmbs(j)
+                    var s = 0.0; var d = 0
+                    while (d < qe.length) { s += qe(d).toDouble * b(d).toDouble; d += 1 }
+                    round8(s / nn)
+                  }
+                if (filled < kk ||
+                    better(cos, nid, topCos(filled - 1), topId(filled - 1))) {
+                  var pos = math.min(filled, kk - 1)
+                  while (pos > 0 && better(cos, nid, topCos(pos - 1), topId(pos - 1))) {
+                    topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1)
+                    pos -= 1
+                  }
+                  topCos(pos) = cos; topId(pos) = nid
+                  if (filled < kk) filled += 1
+                }
+              }
+              j += 1
+            }
+            (0 until filled).iterator
+              .map(r => (qid, (r + 1).toLong, topId(r), topCos(r)))
+          }
+        }
+        .toDF("vec_id", "rank", "nbr_id", "cos")
+      org.apache.spark.sql.GraftLineage.barrier(topk)
+    } else {
+      val scored = {
         val bb = if (bandBits > 0) bandBits else bandBitsFor(n)
         val bands = math.max(1, planes / bb)
         val sig = graft.plans.Skew.capGroups(
@@ -238,14 +305,22 @@ object Similarity {
           .distinct() // a pair can share several bands
           .select(col("query_id"), col("nbr_id"), pairCos.as("cos"))
       }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    org.apache.spark.sql.GraftLineage.barrier(
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id").as("vec_id"),
-          col("rank").cast("long").as("rank"), col("nbr_id"), col("cos")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id").asc)
+      org.apache.spark.sql.GraftLineage.barrier(
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id").as("vec_id"),
+            col("rank").cast("long").as("rank"), col("nbr_id"), col("cos")))
+    }
    }
+
+  /** Spark's `round(col, 8)` for DoubleType, replicated exactly for the
+    * JVM pair kernel: BigDecimal.valueOf (Double.toString shortest
+    * repr) + HALF_UP at scale 8. */
+  private def round8(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Lloyd's k-means over the embedding column — the semantic-CLUSTERING
     * primitive next to [[knnAll]] (cluster ids drive stratified corpus
@@ -338,16 +413,84 @@ object Similarity {
     * [[kMeans]] — no corpus shuffle); the final code table is m
     * id-keyed joins of (id, small-int) pairs. */
   def pqCodes(corpus: DataFrame, m: Int, k: Int, dim: Int,
-              iters: Int = 4): DataFrame = {
+              iters: Int = 4): DataFrame =
+    subspaceModels(corpus, m, k, dim, iters)._1
+
+  /** The m independent subspace clusterings of [[pqCodes]] advanced in
+    * LOCKSTEP over one exploded (vec_id, subspace, subvector) table:
+    * each Lloyd iteration is ONE broadcast join + min_by assignment +
+    * per-(subspace, cluster, dim) mean collect for ALL m subspaces —
+    * m×iters iteration jobs collapse to iters (guide §1.2: cut the pass
+    * count; the subspaces never needed separate passes, only separate
+    * GROUP KEYS). Per-subspace arithmetic is the [[kMeans]] spec
+    * unchanged (same init, distance, tie rule, empty-cluster keep);
+    * only the double-sum order inside each mean differs — the same
+    * ~1e-13 robustness class as the cross-engine oracle contract.
+    * Returns the (vec_id, code_0..code_{m-1}) table plus each
+    * subspace's final (cluster, centroid) model. */
+  private[graft] def subspaceModels(corpus: DataFrame, m: Int, k: Int, dim: Int,
+                                    iters: Int)
+      : (DataFrame, IndexedSeq[Array[(Int, Seq[Double])]]) = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    require(k >= 1 && iters >= 1, s"pq k-means needs k >= 1, iters >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sub = dim / m
-    (0 until m).map { j =>
-        kMeans(corpus.select(col("vec_id"),
-            slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-          k, sub, iters)
-          .withColumnRenamed("cluster", s"code_$j")
+    val c = org.apache.spark.sql.GraftLineage.barrier(
+      corpus.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(slice(col("embedding"), j * lit(sub) + 1, lit(sub)),
+            x => x.cast("double"))))))
+      .toDF("vec_id", "j", "emb")
+    // init per subspace: the k smallest ids' subvectors (same rule as
+    // kMeans — one bounded collect for all m subspaces)
+    val initRows = c.filter(col("j") === 0).orderBy("vec_id").limit(k)
+      .select(col("vec_id")).as[Long].collect()
+    val initEmb = c.join(broadcast(initRows.toSeq.toDF("vec_id")), "vec_id")
+      .orderBy("vec_id", "j").collect()
+    var cents: IndexedSeq[Array[(Int, Seq[Double])]] =
+      (0 until m).map { j =>
+        initRows.indices.map { i =>
+          val row = initEmb(i * m + j)
+          (i, row.getSeq[Double](2))
+        }.toArray
       }
-      .reduce((a, b) => a.join(b, "vec_id"))
+    def centDf() = broadcast(spark.createDataset(
+        for { j <- 0 until m; (cl, v) <- cents(j) } yield (j, cl, v))
+      .toDF("j", "cluster", "cent"))
+    def assign() = {
+      val dist = aggregate(zip_with(col("emb"), col("cent"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      c.join(centDf(), Seq("j"))
+        .select(col("vec_id"), col("j"), col("emb"), col("cluster"), dist.as("d2"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(struct(col("cluster"), col("emb")),
+          struct(col("d2"), col("cluster"))).as("mm"))
+        .select(col("vec_id"), col("j"), col("mm.cluster").as("cluster"),
+          col("mm.emb").as("emb"))
+    }
+    var it = 0
+    while (it < iters) {
+      val means = assign()
+        .select(col("j"), col("cluster"), posexplode(col("emb")))
+        .groupBy(col("j"), col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cents = (0 until m).map { j =>
+        cents(j).map { case (cl, old) => (cl, means.getOrElse((j, cl), old)) }
+      }
+      it += 1
+    }
+    val codeCols = (0 until m).map(j =>
+      max(when(col("j") === j, col("cluster"))).cast("long").as(s"code_$j"))
+    val codes = org.apache.spark.sql.GraftLineage.barrier(
+      assign().groupBy(col("vec_id"))
+        .agg(codeCols.head, codeCols.tail: _*))
+    org.apache.spark.sql.GraftLineage.release(c)
+    (codes, cents)
   }
 
   /** IVF-PQ approximate nearest-neighbor SEARCH (Jégou et al., TPAMI
@@ -382,18 +525,14 @@ object Similarity {
     import spark.implicits._
     val sub = dim / m
     org.apache.spark.sql.GraftLineage.scopedBlocks(spark) {
-      // index build: coarse cells + m subspace codebooks/codes
+      // index build: coarse cells + m subspace codebooks/codes — the m
+      // sub-clusterings advance jointly ([[subspaceModels]]), so the
+      // build is iters+iters iteration jobs instead of (m+1)·iters, and
+      // the index assembly is ONE id join instead of m
       val (coarse, coarseCents) = kMeansModel(corpus, nlist, dim, iters)
-      val subModels = (0 until m).map { j =>
-        kMeansModel(corpus.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-          kSub, sub, iters)
-      }
-      val index = subModels.zipWithIndex
-        .foldLeft(coarse.withColumnRenamed("cluster", "cell")) {
-          case (acc, ((a, _), j)) =>
-            acc.join(a.withColumnRenamed("cluster", s"code_$j"), "vec_id")
-        }
+      val (codes, subCents) = subspaceModels(corpus, m, kSub, dim, iters)
+      val index = coarse.withColumnRenamed("cluster", "cell")
+        .join(codes, "vec_id")
       // driver-side probe + ADC tables from the collected query batch.
       // d2 accumulates LEFT TO RIGHT — the same order as the oracle's
       // list_sum(list_transform(...)), so distances match bit-for-bit
@@ -406,6 +545,17 @@ object Similarity {
       val qRows = queries.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // the query batch is small by contract (same bounded class as
+      // bruteForceTopK's broadcast) — fail loudly past it, and validate
+      // dimensions up front so a mismatched query errors clearly instead
+      // of as an IndexOutOfBounds inside d2 (ADVICE r06)
+      require(qRows.length <= 100000,
+        s"ivfSearch: query batch ${qRows.length} exceeds the small-batch " +
+          "contract (100k); shard the queries")
+      qRows.foreach { case (qid, qe) =>
+        require(qe.length == dim,
+          s"ivfSearch: query $qid has dim ${qe.length}, expected $dim")
+      }
       val probes = qRows.toSeq.flatMap { case (qid, qe) =>
         coarseCents.map { case (cIdx, cent) => (cIdx, d2(qe, cent)) }
           .sortBy { case (cIdx, d) => (d, cIdx) } // ties → smaller cell
@@ -414,7 +564,7 @@ object Similarity {
       val dtabs = (0 until m).map { j =>
         val rows = qRows.toSeq.flatMap { case (qid, qe) =>
           val qs = qe.slice(j * sub, (j + 1) * sub)
-          subModels(j)._2.map { case (code, cent) =>
+          subCents(j).map { case (code, cent) =>
             (qid, code.toLong, d2(qs, cent))
           }
         }

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
+  /** Iterations composed into one plan between lineage barriers for the
+    * PINNED-iteration loops (katz/eigenvector/hits — loops with no
+    * data-dependent exit): each barrier job then executes `iterChunk`
+    * join+agg stages back-to-back inside Spark's scheduler instead of
+    * paying one driver action + one localCheckpoint materialization per
+    * iteration (guide §1.2: fix the distributed algorithm's pass count
+    * first — measured ~0.4-0.6 s of fixed cost per action on the bench
+    * host, and at scale each skipped barrier is one fewer full
+    * materialization of the score table). Chunks stay bounded so plan
+    * size, size-estimation BigInts and (for the L∞-normalized loops)
+    * unnormalized value growth all stay small; the env knob mirrors the
+    * other scale-dependent settings. */
+  private val iterChunkDefault: Int =
+    math.max(1, graft.Env.int("SPARK_GRAFT_ITER_CHUNK", 4))
+  /** One-JVM A/B override (graft.tools.ProfileChunk); None = env/default. */
+  @volatile var iterChunkOverride: Option[Int] = None
+  private[operators] def iterChunk: Int =
+    iterChunkOverride.getOrElse(iterChunkDefault)
+
   /** Seed-restricted harmonic centrality: h(v) = Σ_{s ∈ seeds, s ≠ v,
     * d(s,v) < ∞} 1 / d(s,v), rounded to 6 dp. Unreachable seed pairs
     * contribute 0 (the reason harmonic, not closeness, is the textbook
@@ -88,11 +107,18 @@ object Centrality {
     val spark = edges.sparkSession
     import spark.implicits._
     require(maxIter >= 1, "eigenvector: need at least one iteration")
-    val p = spark.sessionState.conf.numShufflePartitions
-    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
-      .toDF("src", "dst")
-      .repartition(p, $"src")
-      .cutLineage()
+    // Loop-table partition count derived from the OBSERVED adjacency row
+    // count (guide §2: scale-adaptive partitioning; see
+    // [[graft.plans.Adaptive]]) — at scale this keeps the session
+    // setting and adds no extra pass; small graphs re-key once so every
+    // iteration's stages carry data-proportional task counts.
+    val (adj1, aObs) = barrierObserved(
+      GraphIO.bidirectional(GraphIO.canonical(edges))
+        .toDF("src", "dst")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+      count(lit(1)).as("n"))
+    val (adj, p) = graft.plans.Adaptive.rekey(adj1,
+      Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
     var z = barrier(
       adj.select($"src".as("id")).distinct()
         .select($"id", lit(1.0).as("v"))
@@ -103,18 +129,35 @@ object Centrality {
     }
     var m = 1.0
     var iter = 0
+    // Chunked unrolling: `iterChunk` update stages per barrier job. L∞
+    // normalization commutes with the linear update (z/m is a pure
+    // rescale), so dividing per term by the PREVIOUS CHUNK's observed max
+    // — instead of every iteration's — leaves the final normalized output
+    // z_T / max(z_T) mathematically unchanged; within a chunk values grow
+    // by at most λ_max^iterChunk, far inside double range. Oracle-gated
+    // equality re-verified after this change (the only float drift is the
+    // removed per-iteration divisions, ~1e-13 relative, absorbed by the
+    // 6 dp output round).
     while (iter < maxIter) {
-      val (next, obs) = barrierObserved(
-        adj.as("e")
-          .join(z.as("x"), $"e.src" === $"x.id")
-          .crossJoin(broadcast(Seq(m).toDF("m")))
+      val steps = math.min(iterChunk, maxIter - iter)
+      var cur: DataFrame = adj.as("e")
+        .join(z.as("x"), $"e.src" === $"x.id")
+        .crossJoin(broadcast(Seq(m).toDF("m")))
+        .groupBy($"e.dst".as("id"))
+        .agg(sum($"x.v" / $"m").as("v"))
+      var s = 1
+      while (s < steps) {
+        cur = adj.as("e")
+          .join(cur.as("x"), $"e.src" === $"x.id")
           .groupBy($"e.dst".as("id"))
-          .agg(sum($"x.v" / $"m").as("v")),
-        max($"v").as("mx"))
+          .agg(sum($"x.v").as("v"))
+        s += 1
+      }
+      val (next, obs) = barrierObserved(cur, max($"v").as("mx"))
       m = obs("mx").asInstanceOf[Double]
       GraftLineage.release(z)
       z = next
-      iter += 1
+      iter += steps
     }
     val out = barrier(
       z.crossJoin(broadcast(Seq(m).toDF("m")))
@@ -146,11 +189,16 @@ object Centrality {
     if (seeds.isEmpty) // empty graph ⇒ empty seed rule ⇒ empty table
       return spark.emptyDataFrame
         .select(lit(0L).as("id"), lit(0.0).as("betweenness")).limit(0)
-    val p = spark.sessionState.conf.numShufflePartitions
-    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
-      .toDF("v", "nbr")
-      .repartition(p, $"v")
-      .cutLineage()
+    // adaptive loop partitioning — same rule as [[eigenvector]]; on the
+    // sparse fixtures this operator targets, the per-level jobs were
+    // dominated by session-partition-count task overhead
+    val (adj1, aObs) = barrierObserved(
+      GraphIO.bidirectional(GraphIO.canonical(edges))
+        .toDF("v", "nbr")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"v"),
+      count(lit(1)).as("n"))
+    val (adj, p) = graft.plans.Adaptive.rekey(adj1,
+      Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"v"))
     // ---- forward: per-level (source, id, sigma), sigma exact longs ----
     var frontier = barrier(
       spark.createDataset(seeds.distinct).toDF("source")
@@ -233,20 +281,25 @@ object Centrality {
     // bc(v) = Σ over sources and dag levels ≥ 1 (a source's own dist-0
     // row never contributes — Brandes excludes the endpoint s itself)
     val verts = adj.select($"v".as("id")).distinct()
-    val out = barrier(
-      if (maxT == 0)
-        verts.select($"id", lit(0.0).as("betweenness"))
-      else
-        verts.join(
-            lazyDeltas.reduce(_ union _).groupBy($"id")
-              .agg(sum($"delta").as("b")),
-            Seq("id"), "left")
-          .select($"id", round(coalesce($"b", lit(0.0)), 6).as("betweenness")))
-    levels.foreach(release(_))
-    lazyDeltas.foreach(_.unpersist())
-    visitedParts.foreach(release(_))
-    adj.releaseLineage()
-    out
+    // release in a finally: if the output barrier throws, the per-level
+    // cached δ blocks (and the level/visited barriers) must not leak for
+    // the session lifetime (ADVICE r06)
+    try {
+      barrier(
+        if (maxT == 0)
+          verts.select($"id", lit(0.0).as("betweenness"))
+        else
+          verts.join(
+              lazyDeltas.reduce(_ union _).groupBy($"id")
+                .agg(sum($"delta").as("b")),
+              Seq("id"), "left")
+            .select($"id", round(coalesce($"b", lit(0.0)), 6).as("betweenness")))
+    } finally {
+      levels.foreach(release(_))
+      lazyDeltas.foreach(_.unpersist())
+      visitedParts.foreach(release(_))
+      adj.releaseLineage()
+    }
   }
 
   /** Katz centrality (Katz '53), pinned to `maxIter` fixed-point steps:
@@ -269,11 +322,14 @@ object Centrality {
     import spark.implicits._
     require(maxIter >= 1, "katz: need at least one iteration")
     require(alpha > 0 && alpha < 1, s"katz: alpha out of (0,1): $alpha")
-    val p = spark.sessionState.conf.numShufflePartitions
-    val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
-      .toDF("src", "dst")
-      .repartition(p, $"src")
-      .cutLineage()
+    // adaptive loop partitioning — same rule as [[eigenvector]]
+    val (adj1, aObs) = barrierObserved(
+      GraphIO.bidirectional(GraphIO.canonical(edges))
+        .toDF("src", "dst")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+      count(lit(1)).as("n"))
+    val (adj, p) = graft.plans.Adaptive.rekey(adj1,
+      Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
     var z = barrier(
       adj.select($"src".as("id")).distinct()
         .select($"id", lit(1.0).as("v"))
@@ -283,17 +339,26 @@ object Centrality {
       return z.select($"id", $"v".as("katz")).limit(0)
     }
     var iter = 0
+    // Chunked unrolling (see [[iterChunk]]): the affine update needs no
+    // per-iteration scalar, so `steps` join+agg stages compose into ONE
+    // barrier job — identical arithmetic per stage, 12 jobs → 2.
     while (iter < maxIter) {
-      // every vertex in an edge-derived set has degree ≥ 1, so the
-      // inner join reaches all of them — no left-join fallback needed
-      val next = barrier(
-        adj.as("e")
-          .join(z.as("x"), $"e.src" === $"x.id")
+      val steps = math.min(iterChunk, maxIter - iter)
+      var cur: DataFrame = z
+      var s = 0
+      while (s < steps) {
+        // every vertex in an edge-derived set has degree ≥ 1, so the
+        // inner join reaches all of them — no left-join fallback needed
+        cur = adj.as("e")
+          .join(cur.as("x"), $"e.src" === $"x.id")
           .groupBy($"e.dst".as("id"))
-          .agg((lit(1.0) + lit(alpha) * sum($"x.v")).as("v")))
+          .agg((lit(1.0) + lit(alpha) * sum($"x.v")).as("v"))
+        s += 1
+      }
+      val next = barrier(cur)
       GraftLineage.release(z)
       z = next
-      iter += 1
+      iter += steps
     }
     val out = barrier(z.select($"id", round($"v", 6).as("katz")))
     GraftLineage.release(z); GraftLineage.release(adj)
@@ -320,10 +385,17 @@ object Centrality {
     val spark = directed.sparkSession
     import spark.implicits._
     require(maxIter >= 1, "hits: need at least one iteration")
-    val p = spark.sessionState.conf.numShufflePartitions
-    val dedup = directed.select($"src", $"dst").distinct()
-    val eBySrc = dedup.repartition(p, $"src").cutLineage()
-    val eByDst = dedup.repartition(p, $"dst").cutLineage()
+    // One materialization of the deduplicated edge table (the old code
+    // evaluated the upstream distinct TWICE — once per keyed copy), with
+    // the row count observed for adaptive loop partitioning; the two
+    // keyed copies are then cheap re-shuffles of the barrier.
+    val (dedup0, dObs) = barrierObserved(
+      directed.select($"src", $"dst").distinct(), count(lit(1)).as("n"))
+    val p = graft.plans.Adaptive.forRows(spark,
+      Option(dObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val eBySrc = barrier(dedup0.repartition(p, $"src"))
+    val eByDst = barrier(dedup0.repartition(p, $"dst"))
+    GraftLineage.release(dedup0)
     var hub = barrier(
       eBySrc.select($"src".as("id")).distinct()
         .select($"id", lit(1.0).as("v"))
@@ -333,38 +405,73 @@ object Centrality {
       return hub.select($"id", lit("hub").as("kind"), $"v".as("score")).limit(0)
     }
     var mh = 1.0
-    var auth: DataFrame = null
-    var ma = 1.0
     var iter = 0
-    while (iter < maxIter) {
-      val (a2, obsA) = barrierObserved(
-        eBySrc.as("e")
-          .join(hub.as("h"), $"e.src" === $"h.id")
-          .crossJoin(broadcast(Seq(mh).toDF("m")))
-          .groupBy($"e.dst".as("id"))
-          .agg(sum($"h.v" / $"m").as("v")),
-        max($"v").as("mx"))
-      if (auth != null) GraftLineage.release(auth)
-      auth = a2
-      ma = obsA("mx").asInstanceOf[Double]
-      val (h2, obsH) = barrierObserved(
-        eByDst.as("e")
-          .join(auth.as("a"), $"e.dst" === $"a.id")
-          .crossJoin(broadcast(Seq(ma).toDF("m")))
+    // Chunked unrolling (see [[iterChunk]]): the alternating updates are
+    // linear, so the per-side L∞ normalizations are pure rescales that
+    // commute with them — dividing the chunk's FIRST auth update per term
+    // by the previous chunk's observed hub max (instead of normalizing
+    // every half-step) leaves the final per-side normalized outputs
+    // mathematically unchanged, and values grow by at most
+    // (λ_max²)^iterChunk within a chunk, far inside double range.
+    // Iterations 1..maxIter-1 run `steps` full (auth, hub) updates per
+    // barrier job; the LAST iteration materializes auth and hub
+    // separately because both are outputs. Unlike katz/eigenvector,
+    // chunking PAST one full iteration measured slower here (ProfileChunk
+    // one-JVM A/B: 9.0 s at 1 vs 10.6 s at 4 — the two-agg update chain
+    // replans worse under AQE), so the chunk is the fused (auth, hub)
+    // pair: 2 jobs/iteration → 1.
+    val hitsChunk = 1
+    while (iter < maxIter - 1) {
+      val steps = math.min(hitsChunk, maxIter - 1 - iter)
+      var curH: DataFrame = null
+      var s = 0
+      while (s < steps) {
+        val aPlan =
+          if (s == 0)
+            eBySrc.as("e")
+              .join(hub.as("h"), $"e.src" === $"h.id")
+              .crossJoin(broadcast(Seq(mh).toDF("m")))
+              .groupBy($"e.dst".as("id"))
+              .agg(sum($"h.v" / $"m").as("v"))
+          else
+            eBySrc.as("e")
+              .join(curH.as("h"), $"e.src" === $"h.id")
+              .groupBy($"e.dst".as("id"))
+              .agg(sum($"h.v").as("v"))
+        curH = eByDst.as("e")
+          .join(aPlan.as("a"), $"e.dst" === $"a.id")
           .groupBy($"e.src".as("id"))
-          .agg(sum($"a.v" / $"m").as("v")),
-        max($"v").as("mx"))
+          .agg(sum($"a.v").as("v"))
+        s += 1
+      }
+      val (h2, obsH) = barrierObserved(curH, max($"v").as("mx"))
       GraftLineage.release(hub)
       hub = h2
       mh = obsH("mx").asInstanceOf[Double]
-      iter += 1
+      iter += steps
     }
+    val (auth, obsA) = barrierObserved(
+      eBySrc.as("e")
+        .join(hub.as("h"), $"e.src" === $"h.id")
+        .crossJoin(broadcast(Seq(mh).toDF("m")))
+        .groupBy($"e.dst".as("id"))
+        .agg(sum($"h.v" / $"m").as("v")),
+      max($"v").as("mx"))
+    val ma = obsA("mx").asInstanceOf[Double]
+    val (hubT, obsH) = barrierObserved(
+      eByDst.as("e")
+        .join(auth.as("a"), $"e.dst" === $"a.id")
+        .groupBy($"e.src".as("id"))
+        .agg(sum($"a.v").as("v")),
+      max($"v").as("mx"))
+    GraftLineage.release(hub)
+    val mhT = obsH("mx").asInstanceOf[Double]
     val out = barrier(
-      hub.crossJoin(broadcast(Seq(mh).toDF("m")))
+      hubT.crossJoin(broadcast(Seq(mhT).toDF("m")))
         .select($"id", lit("hub").as("kind"), round($"v" / $"m", 6).as("score"))
         .union(auth.crossJoin(broadcast(Seq(ma).toDF("m")))
           .select($"id", lit("auth").as("kind"), round($"v" / $"m", 6).as("score"))))
-    GraftLineage.release(hub); GraftLineage.release(auth)
+    GraftLineage.release(hubT); GraftLineage.release(auth)
     GraftLineage.release(eBySrc); GraftLineage.release(eByDst)
     out
   }

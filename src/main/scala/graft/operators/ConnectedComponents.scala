@@ -122,9 +122,14 @@ object ConnectedComponents {
         * jump's output is semantically wrong (a frontier label can
         * reference a segment resolved at ANY earlier jump: on a 9-chain,
         * vertex 4's jump-3 label 8 lives in jump-1's done segment).
+        * Default 3 M rows: a hashed long-relation costs ~40 B/row, so
+        * the build side stays ≈120 MB — comfortably inside the 8 GiB
+        * single-JVM heap AND typical executor task memory, where the
+        * old 6 M default could spike to ~240 MB per concurrent build
+        * near the threshold (ADVICE r06).
         * Env override: SPARK_GRAFT_CC_REFS_BROADCAST. */
       broadcastRefsRows: Long = graft.Env.long("SPARK_GRAFT_CC_REFS_BROADCAST",
-        6000000L),
+        3000000L),
       /** Tail rounds at or below this edge count finish on the driver:
         * collect the contracted edges, union-find them locally
         * (reference analogue: master-local prefix CC,
@@ -191,7 +196,7 @@ object ConnectedComponents {
     // the hook loop's entry count() was one more constant-time driver
     // job per run (the strong-scaling serial floor is made of exactly
     // such jobs).
-    val (cleaned, cleanedMetrics) = barrierObserved(cfg.strategy match {
+    val (cleaned1, cleanedMetrics) = barrierObserved(cfg.strategy match {
       case CCStrategy.HookAndContract if cfg.preContract =>
         // (src, dst) — not src alone — so a single-hub star spreads
         // across partitions instead of forming one straggler task
@@ -200,6 +205,23 @@ object ConnectedComponents {
       case _ => cleanedLazy
     }, count(lit(1)).as("n"))
     val cleanedCount = Option(cleanedMetrics("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Small derived graphs (dedup pair graphs, co-activity buckets):
+    // re-range the materialized input at a data-proportional partition
+    // count (guide §2, graft.plans.Adaptive — substantial shrinks only)
+    // so round 0's pre-contraction and hook stages don't schedule one
+    // tiny task per session partition. At bench/cluster scale the
+    // condition never fires and the path is byte-identical to before.
+    // Labels are graph-determined (component max), so partitioning
+    // cannot change any gated output.
+    val pAd = graft.plans.Adaptive.forRows(spark, cleanedCount)
+    val cleaned =
+      if (cfg.strategy == CCStrategy.HookAndContract && cfg.preContract &&
+          cleanedCount > 0 && pAd * 4 <= p) {
+        val re = barrier(cleaned1.repartitionByRange(pAd, $"src", $"dst")
+          .sortWithinPartitions($"src", $"dst"))
+        cleaned1.releaseLineage()
+        re
+      } else cleaned1
     val verts = GraphIO.vertices(cleaned.as[Edge]).toDF("id")
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()

@@ -82,8 +82,15 @@ object LabelPropagation {
     // Without the explicit repartition the barrier'd table keeps the
     // upstream distinct's (src,dst) partitioning, which does NOT satisfy
     // the join's src clustering — one full edge shuffle per iteration.
-    val p = spark.sessionState.conf.numShufflePartitions
-    val bidir = bidirRaw.repartition(p, $"src").cutLineage()
+    // Adaptive loop partitioning (guide §2: derive from input size —
+    // see graft.plans.Adaptive; at scale the rekey is a no-op): the row
+    // count rides the adjacency materialization as an observed metric.
+    val (bidir1, bObs) = barrierObserved(
+      bidirRaw.repartition(spark.sessionState.conf.numShufflePartitions,
+        $"src"),
+      count(lit(1)).as("n"))
+    val (bidir, _) = graft.plans.Adaptive.rekey(bidir1,
+      Option(bObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
     val verts = vertsRaw
       .union(extraVertices.map(_.toDF("id")).getOrElse(spark.emptyDataset[Long].toDF("id")))
       .distinct()
@@ -137,9 +144,13 @@ object LabelPropagation {
     val spark = edges.sparkSession
     import spark.implicits._
     val canon = GraphIO.canonical(edges)
-    val p = spark.sessionState.conf.numShufflePartitions
-    val bidir = GraphIO.bidirectional(canon).toDF()
-      .repartition(p, $"src").cutLineage()
+    // adaptive loop partitioning — same rule as [[propagate]]
+    val (bidir1, bObs) = barrierObserved(
+      GraphIO.bidirectional(canon).toDF()
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+      count(lit(1)).as("n"))
+    val (bidir, _) = graft.plans.Adaptive.rekey(bidir1,
+      Option(bObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
     // duplicate seed rows would fan the vertex state out through the
     // left join — collapse to one deterministic label per id (smallest,
     // matching the tie rule); seeds not in the vertex set are ignored
@@ -240,25 +251,41 @@ object LabelPropagation {
     var iter = startIter
     var changed = 1L
 
+    // Chunked iterations (guide §1.2; the Centrality.iterChunk rule,
+    // bounded at 2 because the exit is DATA-DEPENDENT): two synchronous
+    // updates compose into one barrier job, convergence observed on the
+    // chunk's LAST update — valid because a fixpoint is stable, so a
+    // mid-chunk fixpoint just makes the final update a no-op with
+    // changed = 0. Checkpointed runs keep one barrier per iteration.
+    val chunk =
+      if (ck.isDefined) 1
+      else math.max(1, graft.Env.int("SPARK_GRAFT_LPA_CHUNK", 2))
     while (iter < cfg.maxIter && changed > 0) {
       val t0 = System.nanoTime()
-      // heaviest neighbor label (unweighted: weight ≡ 1 → most
-      // frequent); ties → smallest label. argmax as a single hash agg:
-      // max_by over (vote, -label).
-      val nbrCounts = bidir.as("e")
-        .join(labels.as("l"), $"e.src" === $"l.id")
-        .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
-        .agg(sum($"e.weight").as("c"))
-      val best = nbrCounts
-        .groupBy($"id")
-        .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))
-        .select($"id", (-$"m.negl").as("newLabel"))
-
-      val newLabels = labels.as("l")
-        .join(best.as("b"), Seq("id"), "left")
-        .select($"id",
-          coalesce($"newLabel", $"label").as("label"),
-          ($"newLabel".isNotNull && $"newLabel" =!= $"label").as("ch"))
+      val steps = math.min(chunk, cfg.maxIter - iter)
+      var cur = labels
+      var newLabels: DataFrame = null
+      var s = 0
+      while (s < steps) {
+        // heaviest neighbor label (unweighted: weight ≡ 1 → most
+        // frequent); ties → smallest label. argmax as a single hash agg:
+        // max_by over (vote, -label).
+        val nbrCounts = bidir.as("e")
+          .join(cur.as("l"), $"e.src" === $"l.id")
+          .groupBy($"e.dst".as("id"), $"l.label".as("nl"))
+          .agg(sum($"e.weight").as("c"))
+        val best = nbrCounts
+          .groupBy($"id")
+          .agg(max(struct($"c", (-$"nl").as("negl"))).as("m"))
+          .select($"id", (-$"m.negl").as("newLabel"))
+        newLabels = cur.as("l")
+          .join(best.as("b"), Seq("id"), "left")
+          .select($"id",
+            coalesce($"newLabel", $"label").as("label"),
+            ($"newLabel".isNotNull && $"newLabel" =!= $"label").as("ch"))
+        cur = newLabels.select($"id", $"label")
+        s += 1
+      }
       // ONE job: materialize the new labels while observing how many
       // vertices changed (the convergence signal).
       val (next, m) = barrierObserved(newLabels,
@@ -266,7 +293,7 @@ object LabelPropagation {
       changed = m("changed").asInstanceOf[Long]
       GraftLineage.release(labels)
       labels = next.select($"id", $"label")
-      iter += 1
+      iter += steps
       ck.foreach { c =>
         c.appendMetrics(Seq(SuperstepMetrics(cfg.runId, "lpa", iter,
           0L, 0L, changed, 0, (System.nanoTime() - t0) / 1000000)))

@@ -171,31 +171,106 @@ object PageRank {
     // weight, hash-partitioned by src ONCE — the per-iteration join then
     // reuses this partitioning (no edge shuffle per iteration; the rank
     // side is already partitioned by id from the previous groupBy).
-    val p = spark.sessionState.conf.numShufflePartitions
-    val wEdges = wEdgesRaw
-      .repartition(p, $"src")
-      .cutLineage()
+    // The row count is observed in the same materialization and drives
+    // the adaptive loop partition count (guide §2: derive partitioning
+    // from input size; at scale the rekey is a no-op, see
+    // [[graft.plans.Adaptive]]).
+    val (wEdges1, wObs) = barrierObserved(
+      wEdgesRaw.repartition(spark.sessionState.conf.numShufflePartitions,
+        $"src"),
+      count(lit(1)).as("n"))
+    val (wEdges, p) = graft.plans.Adaptive.rekey(wEdges1,
+      Option(wObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
 
     // Dangling = vertices with no out-edges (isolated ones here). A flag
     // column on the rank table; dangling mass for iteration t+1 is
     // observed during iteration t's rank materialization — no extra job.
-    val srcIds = wEdgesRaw.select($"src".as("id")).distinct()
+    // srcIds scans the barrier'd wEdges (the raw derivation was
+    // re-evaluated per consumer before), and the flag is ONE left join
+    // instead of the old anti+semi union (two srcIds evaluations).
+    val srcIds = wEdges.select($"src".as("id")).distinct()
+      .withColumn("_src", lit(true))
     val vertsFlagged = vertsRw.as("v")
-      .join(srcIds.as("o"), Seq("id"), "left_anti")
-      .select(Seq($"id") ++ rwCols :+ lit(true).as("dangling"): _*)
-      .union(vertsRw.as("v")
-        .join(srcIds, Seq("id"), "left_semi")
-        .select(Seq($"id") ++ rwCols :+ lit(false).as("dangling"): _*))
+      .join(srcIds, Seq("id"), "left")
+      .select(Seq($"id") ++ rwCols :+ $"_src".isNull.as("dangling"): _*)
 
     val (ranks0, m0) = barrierObserved(
       vertsFlagged
         .select(Seq($"id", rw.as("rank")) ++ rwCols :+ $"dangling": _*)
         .repartition(p, $"id"),
-      coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"))
+      coalesce(sum(when($"dangling", $"rank")), lit(0.0)).as("dmass"),
+      coalesce(sum(when($"dangling", 1L)), lit(0L)).as("dangn"))
     GraftLineage.release(verts) // ranks0 is materialized; verts is done
-    loop(spark, wEdges, ranks0, m0("dmass").asInstanceOf[Double],
-      if (personalized) None else Some(1.0 / n), startIter = 0, cfg,
-      wedgesStep0 = None)
+    val dangN = Option(m0("dangn")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // Pinned-iteration fast path (guide §1.2: cut the pass count): with
+    // tol = 0 there is no convergence read, and with ZERO dangling
+    // vertices the dangling mass is identically 0.0, so its
+    // per-iteration observation is dead weight — every iterate() caller
+    // builds a bidirectional graph, so dangN == 0 also means every
+    // vertex has in-edges and the contribs aggregation alone reaches the
+    // full vertex set. Arithmetic per iteration is unchanged: with
+    // dmass = 0.0 the old rank expression d·(contrib + 0.0·rw) is
+    // bit-identical to d·contrib. Checkpointed runs keep the observed
+    // loop (resume needs the per-iteration dmass state).
+    if (cfg.tol == 0.0 && cfg.checkpointDir.isEmpty && dangN == 0L)
+      pinnedLoop(spark, wEdges, ranks0,
+        if (personalized) None else Some(1.0 / n), cfg)
+    else
+      loop(spark, wEdges, ranks0, m0("dmass").asInstanceOf[Double],
+        if (personalized) None else Some(1.0 / n), startIter = 0, cfg,
+        wedgesStep0 = None)
+  }
+
+  /** Pinned-iteration loop (tol = 0, zero dangling vertices, no durable
+    * checkpoints): `SPARK_GRAFT_ITER_CHUNK` join+agg iterations compose
+    * into ONE plan per lineage barrier — fewer driver actions and rank
+    * materializations than one barrier per iteration, with the chunk
+    * kept small so plan size and size-only estimates stay bounded.
+    * l1Delta is not computed on this path (reported as NaN). */
+  private def pinnedLoop(spark: org.apache.spark.sql.SparkSession,
+                         wEdges: DataFrame, ranks0: DataFrame,
+                         rwLit: Option[Double], cfg: Config): Result = {
+    import spark.implicits._
+    val personalized = rwLit.isEmpty
+    val rw: org.apache.spark.sql.Column = rwLit.map(lit(_)).getOrElse($"rw")
+    // personalized runs rebuild the (1-d)·rw term from the static
+    // restart-weight table each iteration — a co-partitioned id join
+    // against the ranks0 barrier, which therefore stays alive to the end
+    val vertsRw: DataFrame =
+      if (personalized) ranks0.select($"id", $"rw") else null
+    var ranks: DataFrame = ranks0
+    var iter = 0
+    val chunk = math.max(1, graft.Env.int("SPARK_GRAFT_ITER_CHUNK", 4))
+    while (iter < cfg.maxIter) {
+      val steps = math.min(chunk, cfg.maxIter - iter)
+      var cur: DataFrame = ranks
+      var s = 0
+      while (s < steps) {
+        val contribs = wEdges.as("e")
+          .join(cur.as("r"), $"e.src" === $"r.id")
+          .groupBy($"e.dst".as("id"))
+          .agg(sum($"e.w" * $"r.rank").as("contrib"))
+        cur =
+          if (personalized)
+            contribs.join(vertsRw, Seq("id"))
+              .select($"id",
+                (lit(1.0 - cfg.damping) * rw +
+                  lit(cfg.damping) * $"contrib").as("rank"),
+                $"rw")
+          else
+            contribs.select($"id",
+              (lit(1.0 - cfg.damping) * rw +
+                lit(cfg.damping) * $"contrib").as("rank"))
+        s += 1
+      }
+      val next = barrier(cur)
+      if (!(ranks eq ranks0)) GraftLineage.release(ranks)
+      ranks = next
+      iter += steps
+    }
+    if (!(ranks eq ranks0)) GraftLineage.release(ranks0)
+    GraftLineage.release(wEdges)
+    Result(ranks.select($"id", $"rank"), iter, Double.NaN)
   }
 
   /** Continue a run from durable state written by [[Config.checkpointDir]]:

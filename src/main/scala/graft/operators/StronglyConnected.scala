@@ -38,12 +38,17 @@ object StronglyConnected {
           trimSweeps: Int = 3): DataFrame = {
     val spark = directed.sparkSession
     import spark.implicits._
-    val p = spark.sessionState.conf.numShufflePartitions
 
-    var edges = barrier(
+    // adaptive loop partitioning (guide §2; graft.plans.Adaptive): the
+    // edge count rides the input materialization as an observed metric
+    val (edges1, eObs) = barrierObserved(
       directed.select($"src".cast("long"), $"dst".cast("long"))
         .filter($"src" =!= $"dst").distinct()
-        .repartition(p, $"src"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+      count(lit(1)).as("n"))
+    val (edges0, p) = graft.plans.Adaptive.rekey(edges1,
+      Option(eObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
+    var edges = edges0
     // vertex count observed inside the materialization job itself — a
     // separate count() is one more constant-time driver job per run
     // (the strong-scaling serial floor is made of exactly such jobs)
@@ -237,11 +242,14 @@ object StronglyConnected {
     val spark = dag.sparkSession
     import spark.implicits._
     scopedBlocks(spark) {
-      val p = spark.sessionState.conf.numShufflePartitions
-      val edges = barrier(
+      // adaptive loop partitioning — same rule as [[scc]]
+      val (edges1, eObs) = barrierObserved(
         dag.select($"src".cast("long"), $"dst".cast("long"))
           .filter($"src" =!= $"dst").distinct()
-          .repartition(p, $"src"))
+          .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+        count(lit(1)).as("n"))
+      val (edges, p) = graft.plans.Adaptive.rekey(edges1,
+        Option(eObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
       val sumMetric = sum($"level").as("lsum")
       var state = barrier(
         edges.select($"src".as("id")).union(edges.select($"dst".as("id")))

@@ -46,8 +46,25 @@ object Traversal {
     import spark.implicits._
     require(sources.nonEmpty, "multiSourceHopDistances: empty source set")
     scopedBlocks(spark) {
-      val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
-        .toDF("v", "nbr").cutLineage()
+      // Small graphs: key the adjacency by the join side (v) ONCE at the
+      // adaptive partition count (graft.plans.Adaptive) so every hop's
+      // join and barrier run data-proportional task counts — on the
+      // sparse betweenness-class fixtures this removed the per-level
+      // session-partition task overhead. Large graphs keep the original
+      // shape (unkeyed barrier; AQE coalesces the per-hop shuffles),
+      // because pinning the adjacency at the session count would force
+      // every hop's frontier exchange to that width.
+      val (adj1, aObs) = barrierObserved(
+        GraphIO.bidirectional(GraphIO.canonical(edges)).toDF("v", "nbr"),
+        count(lit(1)).as("n"))
+      val aRows = Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val pA = graft.plans.Adaptive.forRows(spark, aRows)
+      val adj =
+        if (pA * 4 <= spark.sessionState.conf.numShufflePartitions) {
+          val keyed = barrier(adj1.repartition(pA, $"v"))
+          release(adj1)
+          keyed
+        } else adj1
       var frontier = spark.createDataset(sources.distinct).toDF("source")
         .select($"source", $"source".as("id"), lit(0L).as("dist"))
       var visitedParts = List[DataFrame](frontier)
@@ -104,9 +121,14 @@ object Traversal {
     require(nWalks >= 1 && steps >= 0, "deterministicWalks: bad shape")
     val (pP, a, b, c, d0) = (1000003L, 48271L, 16807L, 69621L, 40503L)
     scopedBlocks(spark) {
-      val p = spark.sessionState.conf.numShufflePartitions
-      val adj = GraphIO.bidirectional(GraphIO.canonical(edges))
-        .toDF("v", "nbr").repartition(p, $"v").cutLineage()
+      // adaptive loop partitioning — same rule as multiSourceHopDistances
+      val (adj1, aObs) = barrierObserved(
+        GraphIO.bidirectional(GraphIO.canonical(edges))
+          .toDF("v", "nbr")
+          .repartition(spark.sessionState.conf.numShufflePartitions, $"v"),
+        count(lit(1)).as("n"))
+      val (adj, p) = graft.plans.Adaptive.rekey(adj1,
+        Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"v"))
       var state = barrier(
         adj.select($"v".as("seed")).distinct()
           .crossJoin(spark.createDataset(0L until nWalks.toLong).toDF("walk"))
@@ -114,20 +136,37 @@ object Traversal {
           .repartition(p, $"seed", $"walk"))
       var parts = List[DataFrame](state)
       var t = 0
+      // Chunked unrolling (guide §1.2; the Centrality.iterChunk rule):
+      // `chunk` walk steps compose into ONE barrier job holding the
+      // UNION of the chunk's per-step rows — the continuing state is the
+      // last step's slice (a filter of the barrier, no recompute). Each
+      // step's subtree feeds both the next step and the union, but the
+      // steps end in an aggregation exchange, so ReuseExchange dedups
+      // the double-consumed shuffle.
+      val chunk = math.max(1, graft.Env.int("SPARK_GRAFT_ITER_CHUNK", 4))
       while (t < steps) {
-        t += 1
-        val next = barrier(
-          state.join(adj, $"vertex" === $"v")
+        val nSteps = math.min(chunk, steps - t)
+        var cur: DataFrame = state
+        var stepOut: DataFrame = null
+        var s = 0
+        while (s < nSteps) {
+          val ti = t + s + 1
+          cur = cur.join(adj, $"vertex" === $"v")
             .select($"seed", $"walk",
               struct(
                 pmod(($"nbr" % pP) * a + ($"vertex" % pP) * b +
-                  $"walk" * c + lit(t.toLong) * d0, lit(pP)).as("score"),
+                  $"walk" * c + lit(ti.toLong) * d0, lit(pP)).as("score"),
                 $"nbr".as("vertex")).as("sv"))
             .groupBy($"seed", $"walk")
             .agg(min($"sv").as("m"))
             .select($"seed", $"walk", $"m.vertex".as("vertex"),
-              lit(t.toLong).as("step")))
-        state = next
+              lit(ti.toLong).as("step"))
+          stepOut = if (stepOut == null) cur else stepOut.union(cur)
+          s += 1
+        }
+        t += nSteps
+        val next = barrier(stepOut)
+        state = next.filter($"step" === t)
         parts ::= next
       }
       val out = barrier(parts.reverse.reduce(_ union _)
@@ -225,11 +264,14 @@ object Traversal {
       // hash-partition the adjacency by the JOIN key (dst) once — the
       // per-iteration state join then reuses this partitioning (zero
       // exchanges on the edge side; the barrier claims the partitioning,
-      // same rule as the PageRank/LPA iteration cores)
-      val p = spark.sessionState.conf.numShufflePartitions
-      val bidir = barrier(
+      // same rule as the PageRank/LPA iteration cores). Partition count
+      // adaptive from the observed row count (graft.plans.Adaptive).
+      val (bidir1, bObs) = barrierObserved(
         e.select($"src", $"dst").union(e.select($"dst".as("src"), $"src".as("dst")))
-          .repartition(p, $"dst"))
+          .repartition(spark.sessionState.conf.numShufflePartitions, $"dst"),
+        count(lit(1)).as("n"))
+      val (bidir, _) = graft.plans.Adaptive.rekey(bidir1,
+        Option(bObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"dst"))
       val sumMetric = sum($"c").as("csum")
       val (deg, obs0) = barrierObserved(
         bidir.groupBy($"src".as("id")).agg(count(lit(1)).as("c")), sumMetric)
@@ -285,15 +327,17 @@ object Traversal {
       return spark.emptyDataFrame
         .select(lit(0L).as("source"), lit(0L).as("id"), lit(0L).as("dist"))
         .limit(0)
-    val p = spark.sessionState.conf.numShufflePartitions
     // weights must be nonnegative (no up-front scan — a negative cycle
     // cannot reach the (count, Σ) fixpoint, so the maxIter guard fires)
     val dir = wedges.select($"src".cast("long"), $"dst".cast("long"),
       $"weight".cast("long"))
-    val adj = dir
-      .union(dir.select($"dst".as("src"), $"src".as("dst"), $"weight"))
-      .repartition(p, $"src")
-      .cutLineage()
+    // adaptive loop partitioning (guide §2; graft.plans.Adaptive)
+    val (adj1, aObs) = barrierObserved(
+      dir.union(dir.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
+      count(lit(1)).as("n"))
+    val (adj, p) = graft.plans.Adaptive.rekey(adj1,
+      Option(aObs("n")).map(_.asInstanceOf[Long]).getOrElse(0L), Seq($"src"))
     val state0 = barrier(
       spark.createDataset(seeds.distinct).toDF("source")
         .select($"source", $"source".as("id"), lit(0L).as("dist"))
@@ -345,15 +389,38 @@ object Traversal {
     var adjStep = adjStep0
     var converged = false
     var it = startIter
+    // Chunked relaxation (guide §1.2): `chunk` Bellman–Ford rounds
+    // compose into one barrier job. Valid because the state is MONOTONE
+    // (rows only appear, per-pair dists only decrease): an unchanged
+    // (count, Σdist) pair across a CHUNK boundary still ⟺ no relaxation
+    // fired anywhere in the chunk, and extra rounds past the fixpoint
+    // are no-ops. Chunking is skipped on checkpointed runs (resume
+    // wants per-round state). Each intermediate round's subtree is
+    // consumed twice (union + join) but ends in an aggregation
+    // exchange, so ReuseExchange dedups the double-read shuffle.
+    // chunk = 2, not the katz/eigen 4: the round count is DATA-DEPENDENT
+    // here and fixpoint detection lags a chunk — on fast-converging
+    // graphs (dense co-occurrence: 2-3 rounds) a 4-chunk runs nearly 2×
+    // the needed rounds (measured slower than per-round barriers), while
+    // 2 still halves the job count on deep graphs.
+    val chunk =
+      if (ck.isDefined) 1
+      else math.max(1, graft.Env.int("SPARK_GRAFT_SSSP_CHUNK", 2))
     while (!converged && it < maxIter) {
-      it += 1
       val t0 = System.nanoTime()
-      val (next, m) = barrierObserved(
-        state
-          .union(state.join(adj, $"id" === $"src")
+      val rounds = math.min(chunk, maxIter - it)
+      it += rounds
+      var cur: DataFrame = state
+      var r = 0
+      while (r < rounds) {
+        cur = cur
+          .union(cur.join(adj, $"id" === $"src")
             .select($"source", $"dst".as("id"), ($"dist" + $"weight").as("dist")))
           .groupBy($"source", $"id")
-          .agg(min($"dist").as("dist")),
+          .agg(min($"dist").as("dist"))
+        r += 1
+      }
+      val (next, m) = barrierObserved(cur,
         count(lit(1)).as("n"), sum($"dist").as("s"))
       val n = m("n").asInstanceOf[Long]
       val s = Option(m("s")).map(_.asInstanceOf[Long]).getOrElse(0L)
