@@ -5,6 +5,7 @@ import graft.operators.{ConnectedComponents, GraphMetrics, TriangleCount}
 import graft.operators.ConnectedComponents.{CCStrategy, Config}
 import graft.sources.EdgeDerivation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftLineage.GraftLineageOps
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,7 +84,10 @@ object SparkEntry {
     // level-synchronous BFS from the smallest vertex (hop distances) —
     // over the CONNECTED supplier graph so the whole vertex set is gated
     "bfs_hops" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrence(s, dir)
+      // derivation materialized once: the source-pick aggregate and the
+      // BFS would otherwise each re-run the lineitem self-join (the
+      // harnesses sweep leftover blocks after every query)
+      val edges = EdgeDerivation.supplierCooccurrence(s, dir).cutLineage()
       val srcRow = edges.agg(min(least(col("src"), col("dst")))).head()
       if (srcRow.isNullAt(0)) // empty edge set → empty result, not an NPE
         s.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("dist")).limit(0)
@@ -92,13 +96,15 @@ object SparkEntry {
     // seed-restricted harmonic centrality (one multi-source BFS from the
     // 8 lowest vertex ids; Σ 1/d, 6 dp)
     "harmonic_centrality" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      // seed pick + BFS share ONE materialized derivation (same rule as
+      // bfs_hops)
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       graft.operators.Centrality.harmonic(edges, lowestVertexIds(edges, centralitySeedK))
         .orderBy("id")
     }),
     // seed-restricted closeness (same BFS; reached/Σd — exact division)
     "closeness_centrality" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       graft.operators.Centrality.closeness(edges, lowestVertexIds(edges, centralitySeedK))
         .orderBy("id")
     }),
@@ -123,7 +129,7 @@ object SparkEntry {
     // seed-restricted diameter lower bound + exact integer-p90
     // effective diameter from one multi-source BFS
     "graph_diameter" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       graft.operators.Traversal.distanceStats(
         edges, lowestVertexIds(edges, centralitySeedK))
     }),
@@ -137,6 +143,7 @@ object SparkEntry {
     // over the weighted supplier graph, from the 8 lowest supplier ids
     "sssp_weighted" -> ((s, dir) => {
       val w = EdgeDerivation.supplierCooccurrenceWeightedByNation(s, dir)
+        .cutLineage()
       import s.implicits._
       val seeds = w.select($"src".as("id")).union(w.select($"dst".as("id")))
         .distinct().orderBy($"id").limit(centralitySeedK)
@@ -217,8 +224,10 @@ object SparkEntry {
     // condensation DAG of that digraph: SCCs contracted to canonical
     // labels, distinct cross-SCC edges (acyclic by construction)
     "scc_condensation" -> ((s, dir) => {
+      // SCC and the condensation relabel share ONE materialized
+      // co-activity derivation (window + self-join over events)
       val de = graft.operators.Temporal.coactivityDirectedEdges(
-        readEvents(s, dir), "purchase")
+        readEvents(s, dir), "purchase").cutLineage()
       graft.operators.StronglyConnected.condensation(
         de, graft.operators.StronglyConnected.scc(de))
         .orderBy("src_scc", "dst_scc")
@@ -228,7 +237,7 @@ object SparkEntry {
     // acyclicity — a cycle would never converge)
     "condensation_levels" -> ((s, dir) => {
       val de = graft.operators.Temporal.coactivityDirectedEdges(
-        readEvents(s, dir), "purchase")
+        readEvents(s, dir), "purchase").cutLineage()
       val dag = graft.operators.StronglyConnected.condensation(
         de, graft.operators.StronglyConnected.scc(de))
       graft.operators.StronglyConnected.dagLevels(
@@ -247,7 +256,7 @@ object SparkEntry {
     // per-community conductance of the LPA partition (community quality
     // next to the global modularity; exact integer vol/cut alongside)
     "community_conductance" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       val labels = graft.operators.LabelPropagation.run(edges,
         cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters)).labels
       GraphMetrics.communityConductance(edges, labels).orderBy("label")
@@ -316,7 +325,9 @@ object SparkEntry {
     // Newman modularity of the LPA partition (community quality; same
     // pinned-iteration labels as `lpa`, 6 dp)
     "modularity" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      // LPA and the modularity aggregation share ONE materialized
+      // derivation instead of re-running the self-join each
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       val labels = graft.operators.LabelPropagation.run(edges,
         cfg = graft.operators.LabelPropagation.Config(maxIter = lpaIters)).labels
       GraphMetrics.modularity(edges, labels)
@@ -349,7 +360,9 @@ object SparkEntry {
     // personalized PageRank: restart uniform over the low-id source set,
     // same pinned-iteration protocol as `pagerank` (tol=0, 7 dp round)
     "ppr" -> ((s, dir) => {
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      // the restart-source pick and the run share one materialized
+      // derivation
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       val sources = GraphIO.vertices(GraphIO.canonical(edges))
         .filter(col("id") <= pprSourceMax)
       graft.operators.PageRank.personalized(edges, sources,
@@ -372,7 +385,7 @@ object SparkEntry {
     // primitive (quality/spam class propagation through a link graph)
     "lpa_seeded" -> ((s, dir) => {
       import s.implicits._
-      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir)
+      val edges = EdgeDerivation.supplierCooccurrenceByNation(s, dir).cutLineage()
       // same seed rule (and helper) as the sampled-centrality family
       val seeds = lowestVertexIds(edges, centralitySeedK)
         .map(id => (id, id % 2)).toDF("id", "label")
@@ -754,7 +767,12 @@ object SparkEntry {
       .as[graft.graph.Edge]
     val labels = ConnectedComponents.run(edges).labels.toDF()
     val losers = labels.filter(col("id") =!= col("label")).select(col("id"))
-    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+    // repartition the survivor side: the docs parquet is one split, and
+    // the downstream consumers (corpus_filtered/corpus_final) run the
+    // regex-heavy quality/lang kernels over these rows — without the
+    // spread they execute in a single task (the text_quality rule)
+    docs.repartition(s.sessionState.conf.numShufflePartitions)
+      .join(losers, docs("doc_id") === losers("id"), "left_anti")
   }
 
   /** Pinned iteration counts for the oracle-gated iterative queries. */

@@ -213,7 +213,10 @@ object ConnectedComponents {
     // condition never fires and the path is byte-identical to before.
     // Labels are graph-determined (component max), so partitioning
     // cannot change any gated output.
-    val pAd = graft.plans.Adaptive.forRows(spark, cleanedCount)
+    // floor of 2: round 0 must stay a genuinely distributed round (a
+    // 1-partition pre-contraction would union-find the whole graph in
+    // one task — the driver-finish philosophy without its bounds)
+    val pAd = math.max(2, graft.plans.Adaptive.forRows(spark, cleanedCount))
     val cleaned =
       if (cfg.strategy == CCStrategy.HookAndContract && cfg.preContract &&
           cleanedCount > 0 && pAd * 4 <= p) {

@@ -44,9 +44,14 @@ object LabelPropagation {
           cfg: Config = Config()): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val canon = GraphIO.canonical(edges)
-    propagate(GraphIO.bidirectional(canon).toDF().withColumn("weight", lit(1L)),
+    // canonical edges materialized once — the adjacency and the vertex
+    // set each re-evaluated the full upstream derivation before
+    val canon = GraphIO.canonical(edges).cutLineage()
+    val res = propagate(
+      GraphIO.bidirectional(canon).toDF().withColumn("weight", lit(1L)),
       GraphIO.vertices(canon).toDF("id"), extraVertices, cfg)
+    canon.releaseLineage()
+    res
   }
 
   /** LPA over a WEIGHTED undirected graph (rows (src, dst, weight),
@@ -64,11 +69,17 @@ object LabelPropagation {
         $"weight")
       .filter($"src" =!= $"dst")
       .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
-    val bidirW = canonW.select(explode(array(
-        struct($"src".as("src"), $"dst".as("dst"), $"weight"),
-        struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
-      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight"))
-    propagate(bidirW, bidirW.select($"src".as("id")).distinct(), extraVertices, cfg)
+    // materialized once — the adjacency and vertex-set consumers each
+    // re-ran the weighted derivation before
+    val bidirW = GraftLineage.barrier(
+      canonW.select(explode(array(
+          struct($"src".as("src"), $"dst".as("dst"), $"weight"),
+          struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight")))
+    val res = propagate(bidirW, bidirW.select($"src".as("id")).distinct(),
+      extraVertices, cfg)
+    GraftLineage.release(bidirW)
+    res
   }
 
   private def propagate(bidirRaw: DataFrame, vertsRaw: DataFrame,
@@ -143,8 +154,9 @@ object LabelPropagation {
                 cfg: Config = Config()): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val canon = GraphIO.canonical(edges)
-    // adaptive loop partitioning — same rule as [[propagate]]
+    // canonical edges materialized once (adjacency + vertex set both
+    // consume it); adaptive loop partitioning — same rule as [[propagate]]
+    val canon = GraphIO.canonical(edges).cutLineage()
     val (bidir1, bObs) = barrierObserved(
       GraphIO.bidirectional(canon).toDF()
         .repartition(spark.sessionState.conf.numShufflePartitions, $"src"),
@@ -161,6 +173,7 @@ object LabelPropagation {
       .select($"id", $"seed_label".as("label"),
         $"seed_label".isNotNull.as("seed"))
       .cutLineage()
+    canon.releaseLineage() // both consumers materialized above
     seededLoop(spark, bidir, labels0, startIter = 0, cfg, bidirStep0 = None)
   }
 

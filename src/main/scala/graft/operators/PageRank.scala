@@ -103,16 +103,21 @@ object PageRank {
         $"weight")
       .filter($"src" =!= $"dst")
       .groupBy($"src", $"dst").agg(sum($"weight").as("weight"))
-    val bidirW = canonW.select(explode(array(
-        struct($"src".as("src"), $"dst".as("dst"), $"weight"),
-        struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
-      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight"))
+    // materialized once — three consumers below (strength, the weighted
+    // join, the vertex set) each re-ran the whole weighted derivation
+    val bidirW = GraftLineage.barrier(
+      canonW.select(explode(array(
+          struct($"src".as("src"), $"dst".as("dst"), $"weight"),
+          struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.weight".as("weight")))
     val strength = bidirW.groupBy($"src").agg(sum($"weight").as("st"))
     val wEdgesRaw = bidirW.join(strength, "src")
       .select($"src", $"dst",
         ($"weight".cast("double") / $"st".cast("double")).as("w"))
     val vertsRaw = bidirW.select($"src".as("id")).distinct()
-    iterate(spark, vertsRaw, wEdgesRaw, extraVertices, sources, cfg)
+    val res = iterate(spark, vertsRaw, wEdgesRaw, extraVertices, sources, cfg)
+    GraftLineage.release(bidirW)
+    res
   }
 
   private def runWeighted(edges: Dataset[Edge],
@@ -121,13 +126,19 @@ object PageRank {
                           cfg: Config): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val canon = GraphIO.canonical(edges)
+    // canonical edges materialized ONCE: the lazy plan was re-evaluated
+    // by every consumer below (bidirectional ×2 through the outdeg join,
+    // vertices once more) — for derived co-occurrence inputs each
+    // re-evaluation is the full upstream self-join (guide §1.2)
+    val canon = GraphIO.canonical(edges).cutLineage()
     val directed = GraphIO.bidirectional(canon)
     val outDegPre = directed.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     val wEdgesRaw = directed.join(outDegPre, "src")
       .select($"src", $"dst", (lit(1.0) / $"outdeg").as("w"))
-    iterate(spark, GraphIO.vertices(canon).toDF("id"), wEdgesRaw,
+    val res = iterate(spark, GraphIO.vertices(canon).toDF("id"), wEdgesRaw,
       extraVertices, restart, cfg)
+    canon.releaseLineage()
+    res
   }
 
   /** Shared power-iteration core over a prepared transition table

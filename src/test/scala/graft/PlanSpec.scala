@@ -351,10 +351,14 @@ class PlanSpec extends SparkSpec {
     // window key and the partitioning diverged
     val plan = planOf(SparkEntry.queries("corpus_pack")(spark, dir))
     // formatted mode: each physical node appears once in the tree as
-    // "NodeName (id)"; argument partitioning lives in the detail section
+    // "NodeName (id)"; argument partitioning lives in the detail section.
+    // Assert the PROPERTY (the window's hash exchange on the bucketed
+    // key exists, and no extra exchange sneaks in beyond it + the output
+    // range sort) rather than an exact node total, which breaks on
+    // benign planner/AQE shape changes (ADVICE r06).
     val treeExchanges = plan.linesIterator.count(_.matches(""".*\bExchange \(\d+\)$"""))
     withClue(plan.take(2000)) {
-      treeExchanges shouldBe 2 // window hash exchange + output range sort
+      treeExchanges should be <= 2 // window hash exchange + output range sort
     }
     plan should include("Window")
     plan should include("hashpartitioning(lang")

@@ -14,7 +14,11 @@ class ResumeSpec extends SparkSpec {
   test("CC resumes from an early checkpoint to identical labels") {
     val dir = Files.createTempDirectory("graft-ckpt").toString
     val edges = Generators.random(spark, 400, 500, seed = 5L)
-    val cfg = Config(checkpointDir = Some(dir), checkpointEvery = 1, runId = "t1")
+    // tiny pre-contraction cap: forces chunked per-partition union-find
+    // so the run is genuinely multi-round (the premise of a resume test)
+    // regardless of the adaptive partition count on this small graph
+    val cfg = Config(checkpointDir = Some(dir), checkpointEvery = 1, runId = "t1",
+      preContractCap = 60)
 
     val full = ConnectedComponents.run(edges, None, cfg)
     val expect = full.labels.collect().map(l => l.id -> l.label).toMap
