@@ -554,6 +554,31 @@ class LpaTriangleSpec extends SparkSpec {
     assert(s(1L) < 1.0 && s(1L) > s(3L))
   }
 
+  test("eigenvector/katz chunked unrolling is chunk-size invariant") {
+    import graft.operators.Centrality
+    // the chunked loop normalizes once per CHUNK (eigenvector) and the
+    // rounded outputs must not depend on where the chunk boundaries
+    // fall — 1 (one barrier per iteration, the pre-optimization shape)
+    // vs the default 4
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 5L), (1L, 6L))
+    val ds = spark.createDataset(g.map(e => Edge(e._1, e._2)))
+    def run(chunk: Int) = {
+      Centrality.iterChunkOverride = Some(chunk)
+      try {
+        val e = Centrality.eigenvector(ds, maxIter = 7).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val k = Centrality.katz(ds, alpha = 0.05, maxIter = 7).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        (e, k)
+      } finally Centrality.iterChunkOverride = None
+    }
+    val (e1, k1) = run(1)
+    val (e4, k4c) = run(4)
+    e4 shouldBe e1
+    k4c shouldBe k1
+  }
+
   test("weightedDistances: multi-hop beats heavy direct edge; unreachable omitted") {
     import graft.operators.Traversal
     import spark.implicits._

@@ -121,6 +121,36 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("pinned fast path (tol=0, no dangling) is bit-identical to the observed loop") {
+    // Same graph, tol = 0: without a checkpoint dir the pinned fast path
+    // runs (chunked iterations, no dangling-mass observation); WITH a
+    // checkpoint dir the generic observed loop runs. With zero dangling
+    // vertices dmass ≡ 0.0, so d·(contrib + 0.0·rw) ≡ d·contrib and the
+    // UNROUNDED ranks must be bit-equal between the two paths.
+    val edges = Seq(Edge(0, 1), Edge(1, 2), Edge(2, 3), Edge(0, 3),
+      Edge(3, 4), Edge(4, 5), Edge(1, 5))
+    val ds = spark.createDataset(edges)
+    def ranksOf(cfg: PageRank.Config): Map[Long, Double] =
+      PageRank.run(ds, None, cfg).ranks.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = ranksOf(PageRank.Config(maxIter = 9, tol = 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ab").toString
+    val slow = ranksOf(PageRank.Config(maxIter = 9, tol = 0.0,
+      checkpointDir = Some(dir)))
+    fast shouldBe slow
+    // personalized variant: the rw column rides the fast-path chain
+    val src = spark.createDataset(Seq(0L, 3L))
+    val fastP = PageRank.personalized(ds, src,
+        cfg = PageRank.Config(maxIter = 9, tol = 0.0))
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dirP = java.nio.file.Files.createTempDirectory("graft-ppr-ab").toString
+    val slowP = PageRank.personalized(ds, spark.createDataset(Seq(0L, 3L)),
+        cfg = PageRank.Config(maxIter = 9, tol = 0.0,
+          checkpointDir = Some(dirP)))
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fastP shouldBe slowP
+  }
+
   /** Dense PPR oracle: restart uniform over `sources`, dangling mass to
     * the sources. */
   private def pprOracle(edges: Seq[(Long, Long)], vertices: Seq[Long],

@@ -233,12 +233,18 @@ class PipelineSpec extends SparkSpec {
     val exact = Similarity.knnAll(emb, k = 3, dim = dim)
     val ex = pairs(exact)
     ex.size shouldBe 3 * emb.count()
-    // exact path ≡ per-query brute force on a slice (same scoring kernel,
-    // different join/broadcast shape)
+    // exact path ≡ per-query brute force on a slice — FULL ROWS including
+    // the 8 dp cos: the JVM partition kernel must replicate the SQL
+    // expression kernel bit-for-bit (same left-to-right float→double
+    // sums, same BigDecimal HALF_UP round)
     val bf = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), k = 3)
-      .select($"query_id".as("vec_id"), $"nbr_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    ex.filter(_._1 < 20) shouldBe bf
+      .select($"query_id".as("vec_id"), $"rank", $"nbr_id", $"cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exRows = exact.select($"vec_id", $"rank", $"nbr_id", $"cos")
+      .filter($"vec_id" < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    exRows shouldBe bf
+    ex.filter(_._1 < 20) shouldBe bf.map(t => (t._1, t._3))
     // forced LSH self-join path (exactRows = 0): auto bandBits from the
     // corpus count; capped buckets; recall measured vs the exact truth
     val lsh = Similarity.knnAll(emb, k = 3, dim = dim, exactRows = 0)
@@ -406,6 +412,26 @@ class PipelineSpec extends SparkSpec {
         dim = 8, iters = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     again shouldBe got
+  }
+
+  test("pqCodes lockstep pass equals independent per-subspace kMeans") {
+    // the joint (vec_id, subspace, subvector) formulation must reproduce
+    // the spec exactly: m independent kMeans runs over the sliced
+    // embeddings (the pre-optimization shape) give the same codes
+    val joint = Similarity.pqCodes(embeddings, m = 2, k = 3, dim = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perSub = (0 until 2).map { j =>
+      Similarity.kMeans(embeddings.select($"vec_id",
+          org.apache.spark.sql.functions.slice($"embedding", j * 4 + 1, 4)
+            .as("embedding")),
+        k = 3, dim = 4, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    joint.keySet shouldBe perSub(0).keySet
+    joint.foreach { case (id, (c0, c1)) =>
+      c0 shouldBe perSub(0)(id)
+      c1 shouldBe perSub(1)(id)
+    }
   }
 
   test("corpus split: deterministic, content-keyed, covers all three splits") {
