@@ -580,10 +580,23 @@ object SparkEntry {
     // stage is independently gated; this composes them end-to-end.
     "corpus_final" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val contaminatedIds = graft.functions.Corpus.contamination(
-          docs, col("doc_id"), col("text"), col("doc_id") % 25 === 0)
-        .filter(col("contaminated") === 1L).select(col("doc_id"))
-      survivorDocs(s, dir)
+      // the contamination scan and the survivor pipeline share no
+      // dependency until the final anti-join — submit contamination from
+      // a second thread so its jobs back-fill executors freed by the
+      // near-dup/CC stages' task tails (guide §2.6 overlap; scopedBlocks
+      // tracking is thread-local, so the concurrent library calls are
+      // safe by design)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val contamF = Future {
+        graft.functions.Corpus.contamination(
+            docs, col("doc_id"), col("text"), col("doc_id") % 25 === 0)
+          .filter(col("contaminated") === 1L).select(col("doc_id"))
+      }
+      val surv = survivorDocs(s, dir)
+      val contaminatedIds =
+        Await.result(contamF, scala.concurrent.duration.Duration.Inf)
+      surv
         .withColumn("quality", graft.functions.TextAnalysis.qualityScore(col("text")))
         .withColumn("lang", graft.functions.TextAnalysis.langId(col("text")))
         .filter(col("quality") >= 0.6 && col("lang") =!= "unknown" &&
