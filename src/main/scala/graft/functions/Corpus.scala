@@ -64,19 +64,20 @@ object Corpus {
           array_distinct(Dedup.shingles(text, k)).as("sh")))
       val bench = broadcast(
         grams.filter(col("is_bench"))
-          .select(explode(col("sh")).as("g")).distinct())
+          .select(explode(col("sh")).as("g")).distinct()
+          .withColumn("hit", lit(1L)))
+      // r07: one corpus-side pass instead of two — explode_outer keeps
+      // empty-gram docs as a single null-gram row (null never joins), so
+      // counting bench-side hits per doc already covers the zero-overlap
+      // documents and the former second barrier scan + left join of the
+      // hit table are gone (guide §1.2)
       val hits = grams.filter(!col("is_bench"))
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-        .join(bench, "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+        .join(bench, Seq("g"), "left")
+        .groupBy("doc_id").agg(count(col("hit")).as("n_overlap"))
       org.apache.spark.sql.GraftLineage.barrier(
-        grams.filter(!col("is_bench"))
-          .select(col("doc_id"))
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-            when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
-              .as("contaminated")))
+        hits.select(col("doc_id"), col("n_overlap"),
+          when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated")))
     }
 
   /** Near-duplicate pairs that straddle a split boundary — the train/test

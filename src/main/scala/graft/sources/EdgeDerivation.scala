@@ -21,14 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object EdgeDerivation {
 
+  /** Canonical (src < dst) co-occurrence pairs via one grouping
+    * aggregation instead of a self-join on the group key (guide §2.3:
+    * aggregate before you shuffle). The member set of each group is
+    * deduplicated and sorted inside the aggregation, and the pair
+    * expansion runs map-side on the aggregated rows — same distinct
+    * canonical pair set as the self-join (i < j over a sorted distinct
+    * set ⟺ the join's `a.v < b.v` over all duplicates). What goes
+    * away: at bench scale the planner ran the self-join as a broadcast
+    * (a second scan of lineitem + a full-table BroadcastExchange
+    * build); at cluster scale it is a sort-merge join (two sorted
+    * copies of the biggest table). Both become ONE grouping hash agg
+    * whose partial side combines map-side. Group sizes are bounded
+    * (items per order), so the collect_set buffer and the per-group
+    * quadratic expansion are bounded exactly like the self-join's
+    * per-key blowup was. Measured one-JVM A/B (ProfileDerivation,
+    * sf0.1, best of 3): supplier 1.13 → 0.99 s, part 1.55 → 1.08 s,
+    * fingerprint-identical outputs. */
+  private def groupedPairs(df: DataFrame, groupCol: String, member: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the join formulation's equi-condition silently dropped null keys;
+    // a groupBy would keep a null group — filter explicitly so the null
+    // semantics (and the pushed IsNotNull scan filters) are identical
+    df.where(col(groupCol).isNotNull && col(member).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_set(col(member))).as("vs"))
+      .select(explode(expr(
+        "flatten(transform(vs, (x, i) -> " +
+          "transform(slice(vs, i + 2, size(vs)), " +
+          "y -> named_struct('src', x, 'dst', y))))")).as("e"))
+      .select($"e.src", $"e.dst")
+  }
+
   /** supplier ↔ supplier edges when two suppliers co-occur in an order. */
   def supplierCooccurrence(spark: SparkSession, sfDir: String): Dataset[Edge] = {
     import spark.implicits._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select($"l_orderkey", $"l_suppkey")
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
-      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+    groupedPairs(li, "l_orderkey", "l_suppkey")
       .distinct()
       .as[Edge]
   }
@@ -96,9 +127,7 @@ object EdgeDerivation {
     import spark.implicits._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select($"l_orderkey", $"l_partkey")
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+    groupedPairs(li, "l_orderkey", "l_partkey")
       .distinct()
       .as[Edge]
   }

@@ -325,12 +325,46 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
-  test("edges_supplier: self-join keys pushed as IsNotNull to both scans") {
+  test("edges_supplier: group keys pushed as IsNotNull, columns pruned, no self-join") {
     val plan = planOf(SparkEntry.queries("edges_supplier")(spark, dir))
     plan should include regex "IsNotNull\\(l_orderkey\\)"
-    // only the join keys + payload survive pruning
+    // only the group key + member survive pruning
     val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     readSchemas should not include "l_extendedprice"
+    // r07: the derivation is one grouping aggregation + map-side pair
+    // expansion — the lineitem self-join (broadcast locally, sort-merge
+    // at scale) must not reappear
+    // formatted mode prints each node in the tree AND as a "(n) Scan
+    // parquet" detail header — count the detail headers
+    plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 1
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin"
+  }
+
+  test("co-occurrence groupedPairs equals the self-join formulation (dups + nulls)") {
+    // equivalence gate for the r07 derivation restructure: canonical
+    // (src < dst) distinct pairs from the grouping+expansion path must
+    // equal the original self-join's on inputs WITH duplicate rows and
+    // null keys (the join's equi-condition drops null keys silently)
+    import spark.implicits._
+    val li = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 20L), (1L, 10L), (1L, 30L),   // dup (1,10)
+      (2L, 20L), (2L, 20L),                         // single distinct member
+      (3L, 40L), (3L, 50L),
+      (null, 60L), (4L, null), (4L, 10L)            // null key / null member
+    ).toDF("l_orderkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("grouped_pairs").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val grouped = graft.sources.EdgeDerivation
+      .supplierCooccurrence(spark, tmp).toDF()
+    val joined = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
+      .distinct()
+    val g = grouped.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val j = joined.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    g should contain theSameElementsInOrderAs j
+    g should contain ((10L, 20L)) // sanity: the fixture really pairs
   }
 
   test("corpus_sample: per-stratum top-k is limited BEFORE the shuffle (WindowGroupLimit)") {
