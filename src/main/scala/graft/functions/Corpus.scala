@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    codegen'd, reproducible across runs and engines);
   *  - decontamination broadcasts the BENCHMARK n-gram set (eval suites
   *    are MB-scale by construction) and makes one pass over the corpus:
-  *    explode k-grams → broadcast semi-join → partial-agg count. The
-  *    corpus text itself is never shuffled;
+  *    explode_outer k-grams → broadcast left join → partial-agg hit
+  *    count (zero-overlap docs ride the same aggregation). The corpus
+  *    text itself is never shuffled;
   *  - leakage reuses the bucketed LSH near-dup machinery (no all-pairs)
   *    and only joins the resulting PAIR list (tiny relative to the
   *    corpus) against the split projection.
