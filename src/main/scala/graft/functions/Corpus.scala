@@ -50,7 +50,10 @@ object Corpus {
     * The benchmark n-gram set is broadcast (eval suites are small by
     * nature); the corpus side is one scan + explode + broadcast join +
     * count, with the per-doc grams already distinct so the join-hit
-    * count IS the distinct-overlap count. */
+    * count IS the distinct-overlap count. Ids must be unique non-null
+    * per document (the corpus contract every gated consumer satisfies):
+    * the per-doc aggregation emits ONE row per id, where the
+    * pre-r07 formulation echoed duplicate input rows. */
   def contamination(docs: DataFrame, id: Column, text: Column,
                     benchPred: Column, k: Int = 5): DataFrame =
     org.apache.spark.sql.GraftLineage.scopedBlocks(docs.sparkSession) {

@@ -38,8 +38,17 @@ object ExplainExecuted {
       try {
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        // the listener bus is async — drain before printing
-        Thread.sleep(2000)
+        // the listener bus is async — poll until the plan list stops
+        // growing (2 s quiet period, 30 s ceiling), same deadline-loop
+        // pattern as PlanSpec's broadcast guards
+        val deadline = System.currentTimeMillis() + 30000
+        var lastSize = -1
+        var lastGrew = System.currentTimeMillis()
+        while (System.currentTimeMillis() < deadline &&
+               System.currentTimeMillis() - lastGrew < 2000) {
+          if (plans.size() != lastSize) { lastSize = plans.size(); lastGrew = System.currentTimeMillis() }
+          Thread.sleep(100)
+        }
         println(s"\n========== $n (executed plans, in order) ==========")
         val arr = new java.util.ArrayList[(String, String)](plans)
         arr.forEach { case (fn, p) =>

@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * fixed ~2 s floor under every co-occurrence query).
   *
   * Candidates per derivation:
-  *   - join  : the shipped SMJ self-join on the group key
+  *   - join  : the round-6 self-join on the group key, INLINED here so
+  *             the baseline stays measurable after the shipped code
+  *             moved on (broadcast at bench scale, SMJ at cluster scale)
   *   - hash  : the same join with a SHUFFLE_HASH hint (drops both sorts)
   *   - group : groupBy(group key) + sort_array(collect_set(member)) +
   *             map-side pair expansion (i < j over the sorted distinct
   *             set — identical canonical src < dst pair set by
-  *             construction), then the same distinct/count tail
+  *             construction), then the same distinct/count tail. For
+  *             supplier/parts this IS the shipped EdgeDerivation path
+  *             (called through it); for nation/weighted it is the
+  *             REJECTED alternative, built inline.
   *
   * Each candidate's output is fingerprinted (count + bit_xor of
   * xxhash64(src, dst[, weight])) so the A/B itself proves set equality
@@ -48,9 +53,13 @@ object ProfileDerivation {
     }
 
     /** Sorted distinct member sets per group → canonical (src < dst)
-      * pairs, expanded map-side after the grouping aggregation. */
+      * pairs, expanded map-side after the grouping aggregation — the
+      * multi-key inline variant for the formulations EdgeDerivation does
+      * NOT ship grouped (nation/weighted); null keys dropped to match the
+      * join's semantics. */
     def groupPairs(df: DataFrame, groupCols: Seq[String], member: String): DataFrame =
-      df.groupBy(groupCols.map(col): _*)
+      df.where(groupCols.map(col(_).isNotNull).reduce(_ && _) && col(member).isNotNull)
+        .groupBy(groupCols.map(col): _*)
         .agg(sort_array(collect_set(col(member))).as("vs"))
         .select(explode(expr(
           "flatten(transform(vs, (x, i) -> " +
@@ -58,8 +67,17 @@ object ProfileDerivation {
             "y -> named_struct('src', x, 'dst', y))))")).as("e"))
         .select($"e.src", $"e.dst")
 
+    /** The round-6 self-join formulation, inlined as the baseline. */
+    def joinPairs(df: DataFrame, groupCols: Seq[String], member: String): DataFrame = {
+      val cond = groupCols.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col(s"a.$member") < col(s"b.$member")
+      df.as("a").join(df.as("b"), cond)
+        .select(col(s"a.$member").as("src"), col(s"b.$member").as("dst"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "supplier/join" -> (() => EdgeDerivation.supplierCooccurrence(spark, sfDir).toDF()),
+      "supplier/join" -> (() =>
+        joinPairs(li, Seq("l_orderkey"), "l_suppkey").distinct()),
       "supplier/hash" -> (() => {
         val l = li
         l.hint("SHUFFLE_HASH").as("a")
@@ -68,8 +86,9 @@ object ProfileDerivation {
           .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst"))
           .distinct()
       }),
-      "supplier/group" -> (() =>
-        groupPairs(li, Seq("l_orderkey"), "l_suppkey").distinct()),
+      // the SHIPPED path (grouped since r07 §H)
+      "supplier/group" -> (() => EdgeDerivation.supplierCooccurrence(spark, sfDir).toDF()),
+      // the SHIPPED path (join — the group formulation measured slower)
       "nation/join" -> (() => EdgeDerivation.supplierCooccurrenceByNation(spark, sfDir).toDF()),
       "nation/group" -> (() =>
         groupPairs(liN, Seq("l_orderkey", "s_nationkey"), "l_suppkey").distinct()),
@@ -77,9 +96,10 @@ object ProfileDerivation {
       "weighted/group" -> (() =>
         groupPairs(liN, Seq("l_orderkey", "s_nationkey"), "l_suppkey")
           .groupBy($"src", $"dst").agg(count(lit(1)).as("weight"))),
-      "parts/join" -> (() => EdgeDerivation.partCooccurrence(spark, sfDir).toDF()),
-      "parts/group" -> (() =>
-        groupPairs(liPart, Seq("l_orderkey"), "l_partkey").distinct())
+      "parts/join" -> (() =>
+        joinPairs(liPart, Seq("l_orderkey"), "l_partkey").distinct()),
+      // the SHIPPED path (grouped since r07 §H)
+      "parts/group" -> (() => EdgeDerivation.partCooccurrence(spark, sfDir).toDF())
     )
 
     // Equality first: fingerprint every variant's output.
